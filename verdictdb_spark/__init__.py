@@ -1,0 +1,18 @@
+"""verdictdb_spark — a PySpark-native approximate-query / mergeable-sketch
+library rebuilt from scratch with the capabilities of VerdictDB
+(reference: paroid/verdictdb), re-expressed Spark-first.
+
+Public surface (grows per SURVEY.md §7):
+  sketches:   HllSketch, CmsSketch, KllSketch, TDigestSketch, BloomSketch
+  operators:  approx_count_distinct_by, approx_frequencies, approx_quantiles,
+              top_k, membership filter, dedup_*, similarity search, text ops
+  sampling:   create_scramble, approx_agg_progressive (progressive refinement)
+  lineage:    checkpointed partial-sketch tables with resume
+"""
+
+from .session import get_spark, load_tables  # noqa: F401
+from .hashing import sha256_col, hash64_col, unit_hash_col, block_col  # noqa: F401
+from .sketches.hll import HllSketch  # noqa: F401
+from .operators.distinct import approx_count_distinct_by, hll_sketch_table  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,66 @@
+"""SparkSession helpers tuned for the sketch workload."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship this package to executors (the --py-files contract).
+
+    Workers unpickle UDF closures by importing ``verdictdb_spark``;
+    in any deployment where the repo isn't on the worker PYTHONPATH
+    (a real cluster, or a driver launched from another cwd) the
+    package must travel with the job.  Zips the package and
+    ``addPyFile``s it — the local-mode equivalent of
+    ``spark-submit --py-files verdictdb_spark.zip``.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "verdictdb_spark_pkg")
+    zip_path = shutil.make_archive(out, "zip", os.path.dirname(pkg_dir), "verdictdb_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def get_spark(
+    app: str = "verdictdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+    n = 32 if cores == "*" else int(cores)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Big Arrow batches amortize the Python/JVM boundary for sketch builds.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
+    """Register the driver testdata parquet files as temp views."""
+    names = tables or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for t in names:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
