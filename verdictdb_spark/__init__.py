@@ -13,6 +13,13 @@ Public surface (grows per SURVEY.md §7):
 from .session import get_spark, load_tables  # noqa: F401
 from .hashing import sha256_col, hash64_col, unit_hash_col, block_col  # noqa: F401
 from .sketches.hll import HllSketch  # noqa: F401
+from .sketches.cms import CmsSketch  # noqa: F401
+from .sketches.kll import KllSketch  # noqa: F401
+from .sketches.tdigest import TDigestSketch  # noqa: F401
+from .sketches.bloom import BloomSketch  # noqa: F401
 from .operators.distinct import approx_count_distinct_by, hll_sketch_table  # noqa: F401
+from .operators.frequency import approx_top_k, approx_frequency, cms_sketch_table  # noqa: F401
+from .operators.quantile import approx_quantiles, quantile_sketch_table  # noqa: F401
+from .operators.membership import build_bloom, bloom_contains_col, bloom_prefilter  # noqa: F401
 
 __version__ = "0.1.0"

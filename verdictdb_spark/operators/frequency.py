@@ -1,0 +1,159 @@
+"""Approximate frequency / heavy-hitter queries via count-min sketch.
+
+Answers ``SELECT v, COUNT(*) FROM t GROUP BY v ORDER BY 2 DESC LIMIT k``
+over high-cardinality keys without an exact global group-by:
+
+1. map-side: per-partition CMS partials (mergeable) AND per-partition
+   candidate heavy hitters (a value in the global top-k must be in the
+   top-C of at least one partition's local counts for C >= k — we
+   oversample C = 4k for safety);
+2. tree-merge the CMS states;
+3. score the (few) candidates against the merged CMS and keep k.
+
+At 10^12 rows nothing but sketch states and <= partitions*4k candidate
+rows ever shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sketches.cms import CmsSketch
+from .approx_agg import GROUP_ALL, build_partials, tree_merge
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    col: str | Column,
+    group_by: Sequence[str] = (),
+    eps: float = 1.0 / (1 << 14),
+    delta: float = 0.01,
+) -> DataFrame:
+    sk = CmsSketch(eps=eps, delta=delta)
+    partials = build_partials(df, sk, col, group_by, input_kind="hash")
+    return tree_merge(partials, sk, group_by)
+
+
+def _candidates(df: DataFrame, col: str, group_by: Sequence[str], per_part: int) -> DataFrame:
+    """Per-partition local top values (exact within partition) — the
+    candidate set for global heavy hitters.  Emits value + its JVM
+    hash so CMS lookups use the identical hash function."""
+    gcols = list(group_by)
+    sel = gcols + [F.col(col).cast("string").alias("_value"), F.xxhash64(F.col(col)).alias("_vh")]
+    prepared = df.where(F.col(col).isNotNull()).select(*sel)
+    out_fields = [prepared.schema[g] for g in gcols] + [
+        T.StructField("_value", T.StringType()),
+        T.StructField("_vh", T.LongType()),
+        T.StructField("_lcount", T.LongType()),
+    ]
+
+    keycols = gcols + ["_value"]
+
+    def local_top(batches):
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            g = (
+                pdf.groupby(keycols, sort=False, dropna=False)
+                .agg(_vh=("_vh", "first"), _lcount=("_vh", "size"))
+                .reset_index()
+            )
+            if acc is None:
+                acc = g
+            else:
+                acc = (
+                    pd.concat([acc, g])
+                    .groupby(keycols, sort=False, dropna=False)
+                    .agg(_vh=("_vh", "first"), _lcount=("_lcount", "sum"))
+                    .reset_index()
+                )
+        if acc is None:
+            yield pd.DataFrame(columns=keycols + ["_vh", "_lcount"])
+            return
+        if gcols:
+            out = acc.sort_values("_lcount", ascending=False).groupby(gcols, sort=False).head(per_part * 4)
+        else:
+            out = acc.nlargest(per_part * 4, "_lcount")
+        yield out[keycols[:-1] + ["_value", "_vh", "_lcount"]]
+
+    return prepared.mapInPandas(local_top, T.StructType(out_fields))
+
+
+def approx_top_k(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    group_by: Sequence[str] = (),
+    eps: float = 1.0 / (1 << 14),
+    delta: float = 0.01,
+    out_value: str = "value",
+    out_count: str = "est_count",
+) -> DataFrame:
+    """Heavy hitters with CMS-estimated counts (overestimate <= eps*N w.p. 1-delta)."""
+    sk = CmsSketch(eps=eps, delta=delta)
+    gcols = list(group_by)
+    merged = cms_sketch_table(df, col, group_by, eps, delta)
+    cand = (
+        _candidates(df, col, group_by, per_part=k)
+        .groupBy(*gcols, "_value", "_vh")
+        .agg(F.sum("_lcount").alias("_lb"))
+    )
+    gnames = gcols if gcols else [GROUP_ALL]
+    joined = (
+        cand.withColumn(GROUP_ALL, F.lit(0)) if not gcols else cand
+    ).join(F.broadcast(merged), on=gnames, how="inner")
+
+    out_fields = [joined.schema[g] for g in gcols] + [
+        T.StructField(out_value, T.StringType()),
+        T.StructField(out_count, T.LongType()),
+    ]
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = sk.from_bytes(pdf["state"].iloc[0])
+        est = sk.query(state, pdf["_vh"].to_numpy())
+        top = np.argsort(-est, kind="stable")[:k]
+        out = pdf.iloc[top][gcols + ["_value"]].copy() if gcols else pdf.iloc[top][["_value"]].copy()
+        out[out_count] = est[top]
+        out.columns = gcols + [out_value, out_count]
+        return out
+
+    return joined.groupBy(*gnames).applyInPandas(score, T.StructType(out_fields))
+
+
+def approx_frequency(
+    df: DataFrame,
+    col: str,
+    items: Sequence,
+    group_by: Sequence[str] = (),
+    eps: float = 1.0 / (1 << 14),
+    delta: float = 0.01,
+) -> DataFrame:
+    """CMS point-estimates for explicit items, per group."""
+    sk = CmsSketch(eps=eps, delta=delta)
+    spark = df.sparkSession
+    merged = cms_sketch_table(df, col, group_by, eps, delta)
+    gcols = list(group_by)
+    gnames = gcols if gcols else [GROUP_ALL]
+    items_df = spark.createDataFrame([(str(i),) for i in items], ["item"]).withColumn(
+        "_vh", F.xxhash64(F.col("item").cast(dict(df.dtypes)[col] if isinstance(col, str) else "string"))
+    )
+    joined = merged.crossJoin(F.broadcast(items_df))
+    out_fields = [merged.schema[g] for g in gnames] + [
+        T.StructField("item", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+    ]
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = sk.from_bytes(pdf["state"].iloc[0])
+        est = sk.query(state, pdf["_vh"].to_numpy())
+        out = pdf[gnames + ["item"]].copy()
+        out["est_count"] = est
+        return out
+
+    res = joined.groupBy(*gnames).applyInPandas(score, T.StructType(out_fields))
+    return res.drop(GROUP_ALL) if not gcols else res

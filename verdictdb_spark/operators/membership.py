@@ -1,0 +1,72 @@
+"""Bloom-filter membership: build over a key set, probe any DataFrame.
+
+The scale use case: pre-filter the probe side of a selective join so
+the big shuffle only carries rows that can match (a semi-join
+pushdown the reference delegated to its backing DBMS).  The built
+filter is a few MB of bits — broadcast to every task via closure.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sketches.bloom import BloomSketch
+from .approx_agg import sketch_agg
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str | Column,
+    capacity: int | None = None,
+    fpr: float = 0.01,
+) -> tuple[BloomSketch, bytes]:
+    """Build a Bloom filter over distinct values of ``col``.
+
+    Returns (sketch, state_bytes); the state is small enough to
+    broadcast.  capacity defaults to an approx distinct count of the
+    column (one extra cheap pass) padded 1.3x.
+    """
+    if capacity is None:
+        c = F.col(col) if isinstance(col, str) else col
+        ndv = df.select(F.approx_count_distinct(c, 0.05).alias("n")).first()["n"]
+        capacity = max(int(ndv * 1.3), 1024)
+    sk = BloomSketch(capacity=capacity, fpr=fpr)
+    merged = sketch_agg(df, sk, col, group_by=(), input_kind="hash")
+    state = merged.select("state").first()["state"]
+    return sk, bytes(state)
+
+
+def bloom_contains_col(sk: BloomSketch, state: bytes, col: str | Column) -> Column:
+    """Boolean Column: probable membership of ``col`` in the filter.
+
+    Vectorized pandas UDF over JVM-computed hashes; the state bytes
+    ride the closure (broadcast once per executor).
+    """
+    st = sk.from_bytes(state)
+
+    @F.pandas_udf(T.BooleanType())
+    def _contains(h: pd.Series) -> pd.Series:
+        return pd.Series(sk.contains(st, h.to_numpy()))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _contains(F.xxhash64(c))
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    probe_col: str,
+    build: DataFrame,
+    build_col: str,
+    fpr: float = 0.01,
+) -> DataFrame:
+    """Filter ``probe`` down to rows whose key probably exists in
+    ``build`` — run before a join to cut the shuffle volume.
+    Zero false negatives: never drops a matching row."""
+    sk, state = build_bloom(build, build_col, fpr=fpr)
+    return probe.where(bloom_contains_col(sk, state, probe_col))
