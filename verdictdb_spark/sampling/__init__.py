@@ -1,0 +1,16 @@
+from .scramble import (  # noqa: F401
+    BLOCK_COL,
+    TIER_COL,
+    ScrambleMeta,
+    create_scramble,
+    load_scramble,
+    recommended_block_count,
+    write_scramble,
+)
+from .progressive import (  # noqa: F401
+    AggSpec,
+    ProgressiveResult,
+    approx_agg,
+    converged,
+    progressive_agg,
+)

@@ -1,0 +1,152 @@
+"""Scramble creation — deterministic block-sampled table copies.
+
+Rebuild of the reference's scramble machinery
+(``core/scrambling/``): a scramble of table T is T plus
+``verdictdbtier`` (stratum id) and ``verdictdbblock`` (block id,
+physically the partition column — ``ScramblingNode.java:164-166``),
+with a per-tier cumulative probability distribution over blocks as
+metadata (``ScrambleMeta.java:93-99``).  A prefix of blocks is a
+uniform (or hash-universe) sample whose inclusion probability is the
+CDF mass — the entire statistical contract.
+
+Differences from the reference, on purpose:
+* block assignment is a **deterministic hash** (xxhash64 of the row /
+  of the sample column), not ``rand()`` (``UniformScramblingMethod
+  .java:166-177``) — north_rule requires reproducible runs;
+* metadata is a JSON sidecar next to the parquet table, not a
+  metastore table (``metastore/ScrambleMetaStore.java:53-65``).
+
+Block-count policy mirrors the reference: target 1e6 rows/block,
+max 100 blocks (``SqlSyntax.getRecommendedblockSize:62-64``,
+``UniformScramblingMethod.java:60``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TIER_COL = "verdictdbtier"
+BLOCK_COL = "verdictdbblock"
+
+DEFAULT_BLOCK_SIZE = 1_000_000
+MAX_BLOCK_COUNT = 100
+
+
+@dataclass
+class ScrambleMeta:
+    """JSON-serializable scramble contract (mirrors ScrambleMeta.java)."""
+
+    method: str  # "uniform" | "hash"
+    nblocks: int
+    hash_column: str | None = None
+    seed: int = 42
+    original_count: int | None = None
+    # cdf[tier][k] = P(row of tier t lands in blocks 0..k); uniform blocks
+    # => cdf[t][k] = (k+1)/nblocks for both methods.
+    cdf: dict[int, list[float]] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.cdf:
+            self.cdf = {0: [(i + 1) / self.nblocks for i in range(self.nblocks)]}
+
+    def coverage(self, upto_block: int, tier: int = 0) -> float:
+        """CDF mass of blocks [0, upto_block] — the inclusion probability
+        used for Horvitz-Thompson inverse scaling (AggMeta.java:170-185)."""
+        return self.cdf[tier][min(upto_block, self.nblocks - 1)]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "method": self.method,
+                "nblocks": self.nblocks,
+                "hash_column": self.hash_column,
+                "seed": self.seed,
+                "original_count": self.original_count,
+                "cdf": {str(t): c for t, c in self.cdf.items()},
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "ScrambleMeta":
+        d = json.loads(s)
+        return cls(
+            method=d["method"],
+            nblocks=d["nblocks"],
+            hash_column=d.get("hash_column"),
+            seed=d.get("seed", 42),
+            original_count=d.get("original_count"),
+            cdf={int(t): c for t, c in d["cdf"].items()},
+        )
+
+
+def recommended_block_count(n_rows: int, block_size: int = DEFAULT_BLOCK_SIZE) -> int:
+    """clamp(ceil(rows/block_size), 1, 100) — reference policy."""
+    return max(1, min((n_rows + block_size - 1) // block_size, MAX_BLOCK_COUNT))
+
+
+def create_scramble(
+    df: DataFrame,
+    method: str = "uniform",
+    column: str | None = None,
+    nblocks: int | None = None,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    seed: int = 42,
+) -> tuple[DataFrame, ScrambleMeta]:
+    """Attach tier + block columns; return (scrambled df, meta).
+
+    uniform: block = pmod(xxhash64(all columns, seed), n) — a
+      deterministic stand-in for the reference's floor(rand()*n).
+    hash:    block = floor(unit_hash(column) * n) — a prefix of blocks
+      is a hash-universe sample of ``column``
+      (HashScramblingMethod.java:167-180), which is what makes
+      progressive COUNT(DISTINCT column) sum-mergeable: each distinct
+      value lands in exactly one block.
+    """
+    cnt = df.count()
+    if cnt == 0:
+        # reference throws on empty scrambles (ScramblingNode.java:237-240)
+        raise ValueError("cannot scramble an empty table")
+    n = nblocks or recommended_block_count(cnt, block_size)
+    if method == "uniform":
+        h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        block = F.pmod(h, F.lit(n)).cast("int")
+        meta = ScrambleMeta(method="uniform", nblocks=n, seed=seed, original_count=cnt)
+    elif method == "hash":
+        if not column:
+            raise ValueError("hash scramble requires a column")
+        h = F.xxhash64(F.col(column), F.lit(seed))
+        unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+        block = F.least(F.floor(unit * n).cast("int"), F.lit(n - 1))
+        meta = ScrambleMeta(
+            method="hash", nblocks=n, hash_column=column, seed=seed, original_count=cnt
+        )
+    else:
+        raise ValueError(f"unknown scramble method {method!r} (uniform|hash)")
+    out = df.withColumn(TIER_COL, F.lit(0)).withColumn(BLOCK_COL, block)
+    return out, meta
+
+
+def write_scramble(df: DataFrame, meta: ScrambleMeta, path: str) -> None:
+    """Persist block-partitioned parquet + JSON meta sidecar.
+
+    Partitioning by block gives block-prefix queries file-level
+    partition pruning — a 1%-coverage query reads 1% of the files
+    (the reference got this from ``PARTITION BY (verdictdbblock)``,
+    CreateScrambledTableNode.java:101-166).
+    """
+    df.repartition(meta.nblocks, F.col(BLOCK_COL)).write.mode("overwrite").partitionBy(
+        BLOCK_COL
+    ).parquet(path)
+    with open(os.path.join(path, "_verdictdb_meta.json"), "w") as f:
+        f.write(meta.to_json())
+
+
+def load_scramble(spark: SparkSession, path: str) -> tuple[DataFrame, ScrambleMeta]:
+    with open(os.path.join(path, "_verdictdb_meta.json")) as f:
+        meta = ScrambleMeta.from_json(f.read())
+    return spark.read.parquet(path), meta
