@@ -1,0 +1,160 @@
+"""Text analysis, similarity search, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from verdictdb_spark.operators.text import (
+    fingerprint_md5_col,
+    lang_id_col,
+    quality_score_col,
+    text_stats,
+    token_count_col,
+    winnowing_fingerprints,
+)
+from verdictdb_spark.operators.similarity import (
+    ann_top_k,
+    cosine_top_k,
+    dedup_embeddings,
+    embedding_near_duplicates,
+)
+from verdictdb_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+
+
+# ------------------------------------------------------------------ text
+def test_token_count_and_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is big"),
+            (2, "der hund und die katze ist der beste"),
+            (3, "el perro de la casa que los gatos"),
+            (4, ""),
+            (5, "xyzzy qwerty"),
+        ],
+        ["id", "t"],
+    )
+    out = df.select(
+        "id", token_count_col("t").alias("tc"), lang_id_col("t").alias("lang")
+    ).toPandas().set_index("id")
+    assert out.loc[1, "tc"] == 10 and out.loc[1, "lang"] == "en"
+    assert out.loc[2, "lang"] == "de"
+    assert out.loc[3, "lang"] == "es"
+    assert out.loc[4, "tc"] == 0 and out.loc[4, "lang"] == "und"
+    assert out.loc[5, "lang"] == "und"
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox is in the garden and it runs to the trees."),
+         (2, "!!! ### $$$ %%%"),
+         (3, "  Hello   WORLD  "), (4, "hello world")],
+        ["id", "t"],
+    )
+    pdf = df.select(
+        "id",
+        quality_score_col("t").alias("q"),
+        fingerprint_md5_col("t").alias("fp"),
+    ).toPandas().set_index("id")
+    assert pdf.loc[1, "q"] > pdf.loc[2, "q"]  # prose beats punctuation soup
+    assert pdf.loc[3, "fp"] == pdf.loc[4, "fp"]  # normalization collapses
+    assert 0 <= pdf["q"].min() and pdf["q"].max() <= 1
+
+
+def test_text_stats_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text_stats(docs, "text")
+    row = out.first()
+    assert row["token_count"] > 0 and 0 <= row["quality_score"] <= 1
+    # stays JVM-side: no BatchEvalPython / ArrowEval in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_winnowing_shared_substring(spark):
+    base = "function compute_totals(ledger) returns the running sum of all entries"
+    df = spark.createDataFrame(
+        [(1, base + " alpha beta gamma"), (2, "prefix words here " + base), (3, "zz yy xx ww vv uu tt ss")],
+        ["doc_id", "t"],
+    )
+    fps = winnowing_fingerprints(df, "doc_id", "t", k=8, window=4).toPandas().set_index("doc_id")
+    s1, s2, s3 = (set(fps.loc[i, "fingerprints"]) for i in (1, 2, 3))
+    assert s1 & s2  # shared long substring => shared fingerprints
+    assert not (s1 & s3)
+
+
+# ----------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_top_k_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    q = list(pdf.iloc[0]["embedding"])
+    got = cosine_top_k(emb, "embedding", q, k=5, id_col="vec_id").toPandas()
+    m = np.vstack(pdf["embedding"].to_numpy())
+    qa = np.array(q, dtype=np.float32)
+    qa /= np.linalg.norm(qa)
+    cos = (m @ qa) / np.linalg.norm(m, axis=1)
+    top5 = pdf["vec_id"].to_numpy()[np.argsort(-cos, kind="stable")[:5]]
+    assert got.iloc[0]["vec_id"] == pdf.iloc[0]["vec_id"]  # self is #1
+    assert set(got["vec_id"]) == set(top5)
+    np.testing.assert_allclose(np.sort(got["cosine"])[::-1], np.sort(cos)[::-1][:5], rtol=1e-5)
+
+
+def test_ann_recall(spark, emb):
+    pdf = emb.toPandas()
+    hits = 0
+    for i in (0, 7, 42):
+        q = list(pdf.iloc[i]["embedding"])
+        exact = set(cosine_top_k(emb, "embedding", q, 5, "vec_id").toPandas()["vec_id"])
+        approx = set(ann_top_k(emb, "embedding", q, 5, planes=4, probe_bits=2, id_col="vec_id").toPandas()["vec_id"])
+        hits += len(exact & approx) / 5
+    # these embeddings are near-random (top-5 cosine ~0.3) — the hard
+    # case for hyperplane LSH; 4 planes + 2-bit multi-probe scans ~2/3
+    # of buckets for ~0.8 expected recall
+    assert hits / 3 >= 0.5
+
+
+def test_embedding_near_dups_and_dedup(spark, emb):
+    # add exact-duplicate vectors with shifted ids
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 100_000)
+    both = emb.unionAll(dup)
+    pairs = embedding_near_duplicates(both, "vec_id", "embedding", threshold=0.9999)
+    pdf = pairs.toPandas()
+    found = pdf[(pdf.id_b - pdf.id_a == 100_000)]
+    assert len(found) == emb.count()  # every clone found (same bucket, cos=1)
+    out = dedup_embeddings(both, "vec_id", "embedding", threshold=0.9999)
+    assert out.count() == emb.count()
+    assert out.where(F.col("vec_id") >= 100_000).count() == 0
+
+
+# ----------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, rows=60)
+    imgs = decode_images(media, fake=True)
+    assert imgs.count() == 20
+    r = imgs.first()
+    assert 16 <= r["width"] < 1040 and r["channels"] == 3
+
+    feats = extract_features(media, dim=32, fake=True)
+    pdf = feats.toPandas()
+    assert len(pdf) == 60 and all(len(v) == 32 for v in pdf["features"])
+    norms = [float(np.linalg.norm(v)) for v in pdf["features"]]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    # determinism across runs
+    pdf2 = extract_features(media, dim=32, fake=True).toPandas()
+    assert np.allclose(np.vstack(pdf["features"]), np.vstack(pdf2["features"]))
+
+    frames = sample_frames(media, n_frames=4, fake=True)
+    assert frames.count() == 20 * 4
+
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        decode_images(media, fake=False).count()

@@ -21,5 +21,23 @@ from .operators.distinct import approx_count_distinct_by, hll_sketch_table  # no
 from .operators.frequency import approx_top_k, approx_frequency, cms_sketch_table  # noqa: F401
 from .operators.quantile import approx_quantiles, quantile_sketch_table  # noqa: F401
 from .operators.membership import build_bloom, bloom_contains_col, bloom_prefilter  # noqa: F401
+from .operators.dedup import (  # noqa: F401
+    connected_components,
+    dedup_exact,
+    dedup_minhash,
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_duplicates,
+)
+from .operators.similarity import (  # noqa: F401
+    ann_top_k,
+    cosine_top_k,
+    dedup_embeddings,
+    embedding_near_duplicates,
+)
+from .operators.text import text_stats  # noqa: F401
+from .sampling import AggSpec, ScrambleMeta, approx_agg, create_scramble, progressive_agg  # noqa: F401
+from .lineage import SketchCheckpoint  # noqa: F401
 
 __version__ = "0.1.0"
