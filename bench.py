@@ -1,0 +1,95 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "throughput": {...}}
+
+Throughput extras report the north-rule metric (sketch build+merge
+files/sec on the synthetic source-code table) alongside per-query
+wall times.  Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by tools/scaling_bench.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CODE_ROWS = int(os.environ.get("BENCH_CODE_ROWS", "200000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from verdictdb_spark import queries as q
+    from verdictdb_spark.datagen import code_files
+    from verdictdb_spark.operators.distinct import approx_count_distinct_by
+    from verdictdb_spark.session import get_spark
+
+    spark = get_spark("verdictdb-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    # -- warmup (JVM + python workers) --------------------------------------
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    reg = q.queries()
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "events_by_day",
+        "window_top_order_per_customer",
+        "sessionize_events",
+        "approx_ndv_documents",
+        "approx_topk_lang",
+        "approx_quantiles_lineitem",
+        "scramble_progressive_exact",
+        "countdistinct_hash_scramble",
+        "bloom_semi_join_count",
+        "dedup_exact_documents",
+        "dedup_minhash_documents",
+        "text_stats_documents",
+        "similarity_topk_embeddings",
+    ]:
+        run(name, lambda n=name: reg[n](spark, SF_DIR).collect())
+
+    # -- north-rule throughput: sketch build + merge on the code table -------
+    nparts = max(int(CPUS) if CPUS.isdigit() else 32, 8)
+    files = code_files(spark, rows=CODE_ROWS, n_repos=200, partitions=nparts).cache()
+    n_files = files.count()
+    t0 = time.monotonic()
+    approx_count_distinct_by(files, "content", ["repo", "lang"], p=12).collect()
+    build_merge_sec = time.monotonic() - t0
+    times["hll_build_merge_codefiles"] = round(build_merge_sec, 3)
+    files_per_sec = round(n_files / build_merge_sec, 1)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline query wall time + sketch build/merge throughput",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput": {
+            "sketch_build_merge_files_per_sec": files_per_sec,
+            "code_files_rows": n_files,
+            "cpus": CPUS,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,11 +34,11 @@ def cosine_scores(vec_col: str, query: Sequence[float]):
 
     One numpy matvec per Arrow batch; NaN-safe for zero vectors.
     """
-    q = _normalize(np.asarray(query, dtype=np.float32))
+    q = _normalize(np.asarray(query, dtype=np.float64))
 
     @F.pandas_udf(T.DoubleType())
     def _cos(vs: pd.Series) -> pd.Series:
-        m = np.vstack(vs.to_numpy())
+        m = np.vstack(vs.to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         return pd.Series((m @ q) / norms)

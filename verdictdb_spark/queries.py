@@ -1,0 +1,719 @@
+"""Query registry: every operator class from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus, where the semantics are
+exact, a DuckDB oracle SQL string.
+
+Oracle-determinism rules (cross-engine floating point):
+* per-row scalar double ops are IEEE-identical across engines — safe;
+* cross-row double SUMs are order-dependent — all money sums go
+  through per-row integer cents (``round(x*100) -> bigint``) so the
+  aggregated values are exact integers in both engines;
+* averages / ratios are rounded to >=4 decimals (error ~1e-9 vs
+  boundary 5e-5);
+* LIMIT queries carry a total deterministic ORDER BY.
+
+Approximate operators (HLL, CMS top-k, KLL/t-digest, MinHash
+candidates, winnowing, multimodal stubs) are registered without an
+oracle — the driver records the weaker rows-only check — EXCEPT
+where the algorithm is deterministic-exact at this scale (CMS counts
+with no collisions, scramble full-coverage exactness, embedding
+exact-duplicate pairs), which DO carry oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ship_package
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+_SHIPPED: set[int] = set()
+
+
+def _prep(spark: SparkSession) -> None:
+    """Ship the package to this session's executors once (the driver
+    runs queries in its own SparkSession, not ours)."""
+    key = id(spark)
+    if key not in _SHIPPED:
+        try:
+            ship_package(spark)
+        except Exception:
+            pass  # already added or local path importable
+        _SHIPPED.add(key)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+# =============================================================== relational
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: scan+filter+group+agg+sort (SURVEY §2.2/2.4/2.6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(cents(disc_price)).alias("sum_disc_price_cents"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """3-way join + agg + top-k (broadcast dims; deterministic order)."""
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_local_supplier(spark, sf_dir):
+    """6-way star join (region->nation->customer/supplier->orders->lineitem)."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY revenue_cents DESC, n_name
+"""
+
+
+def events_by_day(spark, sf_dir):
+    """date functions + agg on the events table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("value_cents"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_BY_DAY_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def window_top_order_per_customer(spark, sf_dir):
+    """Window function: each customer's highest-value order (SURVEY §2.5)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", cents("o_totalprice").alias("totalprice_cents"))
+        .orderBy("o_custkey")
+    )
+
+
+WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def sessionize_events(spark, sf_dir):
+    """lag window + gap sessionization (30 min) per user."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # interval comparison is timezone-free (ts is TIMESTAMP_NTZ)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+SESSION_SQL = """
+SELECT user_id,
+       CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def setop_customer_segments(spark, sf_dir):
+    """Set operations: INTERSECT + EXCEPT (SURVEY §2.7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = building.intersect(with_orders)
+    only = rich.exceptAll(with_orders)
+    return (
+        both.withColumn("kind", F.lit("building_with_orders"))
+        .unionAll(only.withColumn("kind", F.lit("rich_without_orders")))
+        .orderBy("kind", "c_custkey")
+    )
+
+
+SETOP_SQL = """
+SELECT c_custkey, 'building_with_orders' AS kind FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+)
+UNION ALL
+SELECT c_custkey, 'rich_without_orders' AS kind FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders
+)
+ORDER BY kind, c_custkey
+"""
+
+
+def scalar_functions(spark, sf_dir):
+    """String/date/math/conditional scalar coverage (SURVEY §2.8)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderstatus", 1, 1)).alias("status_u"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.round(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
+        F.when(F.col("o_totalprice") > 150000, "big").otherwise("small").alias("size_class"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+    ).orderBy("o_orderkey")
+
+
+SCALAR_SQL = """
+SELECT o_orderkey,
+       upper(substring(o_orderstatus, 1, 1)) AS status_u,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       o_orderkey % 7 AS key_mod7,
+       round(sqrt(o_totalprice), 4) AS sqrt_price,
+       CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_class,
+       concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+       CAST(length(o_orderpriority) AS INT) AS prio_len,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def rollup_lineitem(spark, sf_dir):
+    """ROLLUP grouping sets (SURVEY §2.4 grouping-sets row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def in_subquery_orders(spark, sf_dir):
+    """IN / EXISTS subquery (SURVEY §2.2 subquery row) — via SQL so
+    Catalyst's subquery rewrite handles it (the reference lifted
+    subqueries into dependent temp tables; Catalyst decorrelates)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM v_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM v_customer WHERE c_acctbal > 9000)
+          AND o_totalprice > 100000
+        ORDER BY o_orderkey
+        """
+    )
+
+
+IN_SUBQ_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+  AND o_totalprice > 100000
+ORDER BY o_orderkey
+"""
+
+
+# ========================================================== AQP / sketches
+def approx_ndv_documents(spark, sf_dir):
+    """HLL grouped approx count distinct (flagship; no oracle — approximate)."""
+    _prep(spark)
+    from .operators.distinct import approx_count_distinct_by
+
+    docs = _t(spark, sf_dir, "documents")
+    return approx_count_distinct_by(docs, "text", ["lang"], p=12).orderBy("lang")
+
+
+def approx_topk_lang(spark, sf_dir):
+    """CMS heavy hitters; deterministic-exact here (no CMS collisions at
+    this cardinality) so it carries an exact oracle."""
+    _prep(spark)
+    from .operators.frequency import approx_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        approx_top_k(docs, "lang", k=3, eps=1.0 / (1 << 14))
+        .orderBy(F.desc("est_count"), "value")
+    )
+
+
+TOPK_SQL = """
+SELECT lang AS value, count(*) AS est_count
+FROM documents GROUP BY lang ORDER BY est_count DESC, value LIMIT 3
+"""
+
+
+def approx_quantiles_lineitem(spark, sf_dir):
+    """KLL quantiles (approximate — rows-only check)."""
+    _prep(spark)
+    from .operators.quantile import approx_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return approx_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99], group_by=["l_returnflag"], method="kll"
+    ).orderBy("l_returnflag")
+
+
+def scramble_progressive_exact(spark, sf_dir):
+    """Progressive agg at full coverage == exact (the reference's own
+    oracle, SparkTpchSelectQueryCoordinatorTest) — exact, so SQL oracle."""
+    _prep(spark)
+    from .sampling import AggSpec, create_scramble, progressive_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    sdf, meta = create_scramble(li, method="uniform", nblocks=10, seed=7)
+    aggs = [
+        AggSpec("sum", "l_quantity", "sum_qty"),
+        AggSpec("count", None, "cnt"),
+        AggSpec("avg", "l_extendedprice", "avg_price"),
+        AggSpec("max", "l_discount", "max_disc"),
+    ]
+    final = None
+    for r in progressive_agg(sdf, meta, aggs, ["l_returnflag"]):
+        final = r
+    pdf = final.estimates[["l_returnflag", "sum_qty", "cnt", "avg_price", "max_disc"]].copy()
+    pdf["sum_qty"] = pdf["sum_qty"].round().astype("int64")
+    pdf["cnt"] = pdf["cnt"].round().astype("int64")
+    pdf["avg_price"] = pdf["avg_price"].round(4)
+    pdf["max_disc"] = pdf["max_disc"].round(6)
+    return spark.createDataFrame(pdf).orderBy("l_returnflag")
+
+
+SCRAMBLE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS cnt,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(max(l_discount), 6) AS max_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def countdistinct_hash_scramble(spark, sf_dir):
+    """COUNT(DISTINCT) on a hash scramble, full coverage == exact."""
+    _prep(spark)
+    from .sampling import AggSpec, create_scramble, progressive_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    sdf, meta = create_scramble(li, method="hash", column="l_orderkey", nblocks=8)
+    final = None
+    for r in progressive_agg(sdf, meta, [AggSpec("countdistinct", "l_orderkey", "ndv")], []):
+        final = r
+    pdf = final.estimates[["ndv"]].copy()
+    pdf["ndv"] = pdf["ndv"].round().astype("int64")
+    return spark.createDataFrame(pdf)
+
+
+CD_SCRAMBLE_SQL = "SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv FROM lineitem"
+
+
+def bloom_semi_join_count(spark, sf_dir):
+    """Bloom prefilter + exact semi join — exact result, bloom in plan."""
+    _prep(spark)
+    from .operators.membership import bloom_prefilter
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    pre = bloom_prefilter(li, "l_orderkey", o, "o_orderkey", fpr=0.01)
+    exact = pre.join(o, pre.l_orderkey == o.o_orderkey, "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+BLOOM_SQL = """
+SELECT count(*) AS n_rows FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+# ===================================================== training-data ops
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup over a constructed duplicate-bearing input."""
+    _prep(spark)
+    from .operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    return dedup_exact(dup, "text", order_by="doc_id").select("doc_id", "lang").orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM (SELECT * FROM documents UNION ALL
+        SELECT doc_id + 100000, text, lang, source, n_chars FROM documents)
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def dedup_minhash_documents(spark, sf_dir):
+    """MinHash-LSH near-dup dedup (approximate — rows-only check)."""
+    _prep(spark)
+    from .operators.dedup import dedup_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.unionAll(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" appended tail token"))
+        )
+    )
+    return dedup_minhash(dup, "doc_id", "text", threshold=0.8, shingle=3).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+def simhash_pairs_documents(spark, sf_dir):
+    """SimHash near-dup candidate pairs (approximate — rows-only)."""
+    _prep(spark)
+    from .operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    return simhash_near_duplicates(dup, "doc_id", "text", max_hamming=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verification of LSH candidates (rows-only:
+    candidate set depends on MinHash)."""
+    _prep(spark)
+    from .operators.dedup import exact_jaccard, lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    sig = minhash_signatures(dup, "doc_id", "text", num_hashes=64, shingle=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=16, min_est_jaccard=0.9)
+    return (
+        exact_jaccard(dup, pairs, "doc_id", "text", shingle=3)
+        .where(F.col("jaccard") >= 0.999)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def text_stats_documents(spark, sf_dir):
+    """Language-ID, quality, token counts, fingerprint — deterministic
+    per-row formulas with a full SQL oracle."""
+    _prep(spark)
+    from .operators.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text_stats(docs, "text")
+    return out.select(
+        "doc_id",
+        "token_count",
+        "bpe_tokens",
+        F.round("alpha_ratio", 6).alias("alpha_r"),
+        F.round("punct_ratio", 6).alias("punct_r"),
+        F.round("stopword_ratio", 6).alias("stop_r"),
+        F.round("quality_score", 6).alias("quality"),
+        "lang_pred",
+        "fingerprint",
+    ).orderBy("doc_id")
+
+
+def _text_stats_oracle() -> str:
+    from .operators.text import LANG_MARKERS, STOPWORDS
+
+    def occ(needle: str) -> str:
+        pat = f" {needle} "
+        return (
+            f"CAST((length(p) - length(replace(p, '{pat}', ' '))) / {len(pat) - 1} AS BIGINT)"
+        )
+
+    score = {
+        lang: " + ".join(occ(m) for m in ms) for lang, ms in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(f"s_{l}" for l in sorted(LANG_MARKERS)) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in sorted(LANG_MARKERS)
+    ) + " ELSE 'und' END"
+    sw = " + ".join(occ(w) for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc,
+         (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+            / greatest(length(text), 1) AS alpha,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+            / greatest(length(text), 1) AS punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, tc, alpha, punct,
+         {", ".join(f"{score[l]} AS s_{l}" for l in sorted(LANG_MARKERS))},
+         ({sw}) AS sw_occ
+  FROM base
+), named AS (
+  SELECT *, greatest({", ".join(f"s_{l}" for l in sorted(LANG_MARKERS))}) AS best,
+         CAST(sw_occ AS DOUBLE) / greatest(tc, 1) AS swr
+  FROM scored
+)
+SELECT doc_id,
+       CAST(tc AS INT) AS token_count,
+       CAST(length(regexp_replace(regexp_replace(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 'x', 'g'), '\\s+', '', 'g')) AS INT)
+            AS bpe_tokens,
+       round(alpha, 6) AS alpha_r,
+       round(punct, 6) AS punct_r,
+       round(swr, 6) AS stop_r,
+       round(0.4*alpha + 0.2*(1.0-punct) + 0.2*least(tc/200.0, 1.0)
+             + 0.2*least(swr*5.0, 1.0), 6) AS quality,
+       {lang_case} AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM named ORDER BY doc_id
+"""
+
+
+def similarity_topk_embeddings(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding — exact."""
+    _prep(spark)
+    from .operators.similarity import cosine_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return (
+        cosine_top_k(emb, "embedding", list(q), k=10, id_col="vec_id")
+        .select("vec_id", F.round("cosine", 6).alias("cos_r"))
+    )
+
+
+SIM_TOPK_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+         AS cos_r
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+         vec_id
+LIMIT 10
+"""
+
+
+def embedding_exact_dup_pairs(spark, sf_dir):
+    """Embedding near-dup detection on planted exact duplicates — the
+    result set is deterministic (random vectors never reach 0.9999)."""
+    _prep(spark)
+    from .operators.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    both = emb.unionAll(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    pairs = embedding_near_duplicates(both, "vec_id", "embedding", threshold=0.9999)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cos_r")
+    ).orderBy("id_a", "id_b")
+
+
+EMB_DUP_SQL = """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cos_r
+FROM embeddings ORDER BY id_a, id_b
+"""
+
+
+def winnowing_documents(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (rows-only — stateful UDF)."""
+    _prep(spark)
+    from .operators.text import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(docs, "doc_id", "text")
+    return fp.select("doc_id", F.size("fingerprints").alias("n_fp")).orderBy("doc_id")
+
+
+def multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: stubbed image decode over binary media."""
+    _prep(spark)
+    from .operators.multimodal import decode_images, synthetic_media
+
+    media = synthetic_media(spark, rows=300)
+    return decode_images(media, fake=True).orderBy("media_id")
+
+
+# =============================================================== registry
+def queries() -> dict[str, Query]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "events_by_day": events_by_day,
+        "window_top_order_per_customer": window_top_order_per_customer,
+        "sessionize_events": sessionize_events,
+        "setop_customer_segments": setop_customer_segments,
+        "scalar_functions": scalar_functions,
+        "rollup_lineitem": rollup_lineitem,
+        "in_subquery_orders": in_subquery_orders,
+        "approx_ndv_documents": approx_ndv_documents,
+        "approx_topk_lang": approx_topk_lang,
+        "approx_quantiles_lineitem": approx_quantiles_lineitem,
+        "scramble_progressive_exact": scramble_progressive_exact,
+        "countdistinct_hash_scramble": countdistinct_hash_scramble,
+        "bloom_semi_join_count": bloom_semi_join_count,
+        "dedup_exact_documents": dedup_exact_documents,
+        "dedup_minhash_documents": dedup_minhash_documents,
+        "simhash_pairs_documents": simhash_pairs_documents,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "text_stats_documents": text_stats_documents,
+        "similarity_topk_embeddings": similarity_topk_embeddings,
+        "embedding_exact_dup_pairs": embedding_exact_dup_pairs,
+        "winnowing_documents": winnowing_documents,
+        "multimodal_decode": multimodal_decode,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier": Q5_SQL,
+        "events_by_day": EVENTS_BY_DAY_SQL,
+        "window_top_order_per_customer": WINDOW_SQL,
+        "sessionize_events": SESSION_SQL,
+        "setop_customer_segments": SETOP_SQL,
+        "scalar_functions": SCALAR_SQL,
+        "rollup_lineitem": ROLLUP_SQL,
+        "in_subquery_orders": IN_SUBQ_SQL,
+        "approx_topk_lang": TOPK_SQL,
+        "scramble_progressive_exact": SCRAMBLE_SQL,
+        "countdistinct_hash_scramble": CD_SCRAMBLE_SQL,
+        "bloom_semi_join_count": BLOOM_SQL,
+        "dedup_exact_documents": DEDUP_EXACT_SQL,
+        "text_stats_documents": _text_stats_oracle(),
+        "similarity_topk_embeddings": SIM_TOPK_SQL,
+        "embedding_exact_dup_pairs": EMB_DUP_SQL,
+    }
