@@ -1,0 +1,131 @@
+"""Scaling-efficiency evidence: the same sketch build+merge job at two
+parallelism levels on identical input — the sandbox stand-in for
+N vs 4N executors (north_rule: throughput scaling efficiency >= 0.8).
+
+Two honesty mechanisms, because this sandbox is a virtualized 32-vCPU
+box whose HARDWARE parallel capacity saturates well below 32 workers
+(measured: a pure-numpy multiprocessing control tops out ~16 workers;
+32 workers deliver only ~1.6x the throughput of 8):
+
+1. We measure two N->4N pairs: local[2]->local[8] (inside the
+   machine's linear-scaling region) and local[8]->local[32] (the
+   literal reading of the rule, saturated region).
+2. Each pair ships with a PURE-CPU CALIBRATION control (numpy
+   multiply-sum in multiprocessing workers, no Spark) at the same
+   worker counts, so the library's efficiency can be compared to the
+   ceiling the platform itself allows.  ``normalized_efficiency`` =
+   library speedup / hardware-control speedup: 1.0 means the library
+   adds zero scaling penalty beyond the platform.
+
+Writes BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROWS = int(os.environ.get("SCALING_ROWS", "10240000"))
+PARTITIONS = 64
+REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cpus, rows, parts, repeats = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+from verdictdb_spark.session import get_spark
+from verdictdb_spark.datagen import code_files
+from verdictdb_spark.operators.distinct import approx_count_distinct_by
+spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+spark.sparkContext.setLogLevel("ERROR")
+files = code_files(spark, rows=rows, n_repos=200, partitions=parts, max_words=80).cache()
+n = files.count()
+approx_count_distinct_by(files.limit(20000), "content", ["lang"], p=10).collect()  # warm workers
+best = None
+for _ in range(repeats):
+    t0 = time.monotonic()
+    approx_count_distinct_by(files, "content", ["repo", "lang"], p=12).collect()
+    dt = time.monotonic() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cpus": int(cpus), "rows": n, "sec": best, "files_per_sec": n / best}))
+spark.stop()
+"""
+
+_K = np.int64(0x5851F42D4C957F2)
+
+
+def _burn(n: int) -> int:
+    a = np.random.default_rng(0).integers(0, 2**31, 20_000, dtype=np.int64)
+    x = np.int64(0)
+    with np.errstate(over="ignore"):
+        for _ in range(n):
+            x ^= (a * _K).sum()
+    return 0
+
+
+def cpu_control(workers: int, units: int = 64, n: int = 2000) -> float:
+    """Pure-CPU multiprocessing throughput (units/sec) — the platform ceiling."""
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        with mp.Pool(workers) as p:
+            p.map(_burn, [n] * units)
+        best = max(best, units * n / (time.monotonic() - t0))
+    return best
+
+
+def run_spark(cpus: int, rows: int) -> dict:
+    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), str(rows), str(PARTITIONS), str(REPEATS)],
+        capture_output=True, text=True, timeout=2700, env=env,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(out.stdout[-2000:], out.stderr[-2000:])
+        raise RuntimeError(f"worker local[{cpus}] produced no result")
+    return json.loads(lines[-1])
+
+
+def pair(lo_n: int, hi_n: int, rows: int = ROWS) -> dict:
+    lo, hi = run_spark(lo_n, rows), run_spark(hi_n, rows)
+    ctl_lo, ctl_hi = cpu_control(lo_n), cpu_control(hi_n)
+    lib_speedup = hi["files_per_sec"] / lo["files_per_sec"]
+    hw_speedup = ctl_hi / ctl_lo
+    ratio = hi_n / lo_n
+    return {
+        "pair": f"local[{lo_n}] -> local[{hi_n}]",
+        "low": lo,
+        "high": hi,
+        "library_speedup": round(lib_speedup, 3),
+        "scaling_efficiency": round(lib_speedup / ratio, 3),
+        "hardware_control_speedup": round(hw_speedup, 3),
+        "hardware_control_efficiency": round(hw_speedup / ratio, 3),
+        "normalized_efficiency": round(lib_speedup / hw_speedup, 3),
+    }
+
+
+def main() -> None:
+    result = {
+        "workload": "HLL sketch build + tree merge (incl. JVM content hashing), grouped by (repo, lang)",
+        "rows": ROWS,
+        "pairs": [pair(1, 4, rows=10_240_000), pair(2, 8, rows=ROWS), pair(8, 32, rows=ROWS)],
+        "note": (
+            "32-vCPU Firecracker sandbox saturates ~16 workers on the pure-CPU "
+            "control; normalized_efficiency reports the library's scaling "
+            "relative to that platform ceiling (1.0 = no added penalty)."
+        ),
+    }
+    with open("/root/repo/BENCH_SCALING.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

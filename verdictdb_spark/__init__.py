@@ -37,7 +37,19 @@ from .operators.similarity import (  # noqa: F401
     embedding_near_duplicates,
 )
 from .operators.text import text_stats  # noqa: F401
-from .sampling import AggSpec, ScrambleMeta, approx_agg, create_scramble, progressive_agg  # noqa: F401
+from .sampling import (  # noqa: F401
+    AggSpec,
+    ScrambleMeta,
+    append_scramble,
+    approx_agg,
+    create_fastconverge_scramble,
+    create_scramble,
+    load_scramble,
+    progressive_agg,
+    write_scramble,
+)
 from .lineage import SketchCheckpoint  # noqa: F401
+from .streaming import ResultStream, incremental_sketch_sink, read_sketch_state  # noqa: F401
+from .metastore import MetaStore  # noqa: F401
 
 __version__ = "0.1.0"

@@ -43,7 +43,9 @@ FILES_SCHEMA = T.StructType(
 )
 
 
-def _gen_partition(pid: int, rows: int, n_repos: int, seed: int, dup_rate: float) -> pd.DataFrame:
+def _gen_partition(
+    pid: int, rows: int, n_repos: int, seed: int, dup_rate: float, max_words: int = 600
+) -> pd.DataFrame:
     rng = np.random.default_rng(seed * 1_000_003 + pid)
     # Zipf(a=1.3)-skewed repo ids clipped to [0, n_repos)
     rid = np.minimum(rng.zipf(1.3, size=rows) - 1, n_repos - 1)
@@ -73,7 +75,8 @@ def _gen_partition(pid: int, rows: int, n_repos: int, seed: int, dup_rate: float
     w = np.array(_WORDS)
     A, B, C = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9)
     with np.errstate(over="ignore"):
-        nwords = (30 + ((content_id * C) >> np.uint64(45)) % np.uint64(570)).astype(np.int64)
+        spread = np.uint64(max(max_words - 30, 1))
+        nwords = (30 + ((content_id * C) >> np.uint64(45)) % spread).astype(np.int64)
         maxw = int(nwords.max()) if rows else 0
         pos = np.arange(maxw, dtype=np.uint64)
         idx = (((content_id[:, None] * A) + pos[None, :] * B) >> np.uint64(40)) % np.uint64(len(w))
@@ -91,6 +94,7 @@ def code_files(
     partitions: int = 8,
     seed: int = 42,
     dup_rate: float = 0.20,
+    max_words: int = 600,
 ) -> DataFrame:
     """Deterministic distributed generation of the `files` table."""
     per = rows // partitions
@@ -99,6 +103,6 @@ def code_files(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for pid in pdf["pid"]:
-                yield _gen_partition(int(pid), per, n_repos, seed, dup_rate)
+                yield _gen_partition(int(pid), per, n_repos, seed, dup_rate, max_words)
 
     return base.repartition(partitions, "pid").mapInPandas(gen, FILES_SCHEMA)

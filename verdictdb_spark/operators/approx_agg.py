@@ -58,6 +58,25 @@ def _group_schema(df: DataFrame, group_by: Sequence[str]) -> list[T.StructField]
     return [by_name[g] for g in group_by]
 
 
+def factorize_keys(pdf: pd.DataFrame, gcols: list[str]) -> tuple[np.ndarray, pd.DataFrame]:
+    """(codes, unique-key frame in code order) — C-speed, multi-column.
+
+    Group handling inside Arrow batches must never loop Python over
+    rows; factorize gives integer codes so all downstream work is
+    numpy scatters."""
+    if not gcols:
+        return np.zeros(len(pdf), dtype=np.int64), pd.DataFrame({GROUP_ALL: [0]})
+    combined = None
+    for g in gcols:
+        c, _ = pd.factorize(pdf[g], use_na_sentinel=False)
+        combined = c if combined is None else combined * (int(c.max()) + 1) + c
+    codes, _ = pd.factorize(combined)
+    # representative row per unique code (first occurrence)
+    rep = np.empty(int(codes.max()) + 1, dtype=np.int64)
+    rep[codes[::-1]] = np.arange(len(codes))[::-1]
+    return codes, pdf.iloc[rep][gcols].reset_index(drop=True)
+
+
 def _value_column(col: str | Column, input_kind: str) -> Column:
     """JVM-side value preparation: hash or numeric cast, never Python."""
     c = F.col(col) if isinstance(col, str) else col
@@ -96,39 +115,91 @@ def build_partials(
     prepared = df.where(raw.isNotNull()).select(*sel)
     gnames = [f.name for f in gfields]
 
+    grouped_fast = hasattr(sketch, "update_grouped") and hasattr(sketch, "state_size")
+
+    def _factorize(pdf: pd.DataFrame) -> tuple[np.ndarray, pd.DataFrame]:
+        return factorize_keys(pdf, gcols)
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         t0 = time.monotonic()
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        # vectorized-across-groups accumulators
+        key_rows: dict[tuple, int] = {}
+        keys_df: list[pd.DataFrame] = []
+        mat: Any = None
+        nrows_v: list[int] = []
+        cksum_v: list[int] = []
+        # generic per-group accumulators
         acc: dict[tuple, Any] = {}
         nrows: dict[tuple, int] = {}
         cksum: dict[tuple, int] = {}
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vals = pdf["_v"]
-            if gcols:
-                grouped = pdf.groupby(gcols, sort=False, dropna=False).indices
+            v_all = pdf["_v"].to_numpy()
+            if grouped_fast:
+                codes, uniq = _factorize(pdf)
+                n_new = len(uniq)
+                # map batch-local codes -> global accumulator rows
+                rows = np.empty(n_new, dtype=np.int64)
+                for i, key in enumerate(uniq.itertuples(index=False, name=None)):
+                    r = key_rows.get(key)
+                    if r is None:
+                        r = len(key_rows)
+                        key_rows[key] = r
+                        nrows_v.append(0)
+                        cksum_v.append(0)
+                    rows[i] = r
+                width = sketch.state_size
+                if mat is None:
+                    mat = np.zeros(0, dtype=sketch.state_dtype)
+                if len(key_rows) * width > mat.size:
+                    mat = np.concatenate(
+                        [mat, np.zeros(len(key_rows) * width - mat.size, dtype=sketch.state_dtype)]
+                    )
+                # single scatter per batch straight into the accumulator
+                # (no per-batch group matrices — keeps memory traffic
+                # O(rows) so many concurrent workers don't thrash DRAM)
+                sketch.update_grouped(mat, rows[codes], v_all)
+                cnt = np.bincount(codes, minlength=n_new)
+                xo = np.zeros(n_new, dtype=np.int64)
+                np.bitwise_xor.at(xo, codes, v_all.astype(np.int64, copy=False))
+                for i in range(n_new):
+                    nrows_v[rows[i]] += int(cnt[i])
+                    cksum_v[rows[i]] ^= int(xo[i])
             else:
-                grouped = {(0,): np.arange(len(pdf))}
-            for key, idx in grouped.items():
-                k = key if isinstance(key, tuple) else (key,)
-                v = vals.to_numpy()[idx]
-                v = v[~pd.isna(v)] if v.dtype == object else v
-                st = sketch.build(v)
-                acc[k] = sketch.merge(acc[k], st) if k in acc else st
-                nrows[k] = nrows.get(k, 0) + len(idx)
-                x = np.bitwise_xor.reduce(v.astype(np.int64, copy=False)) if len(v) else 0
-                cksum[k] = cksum.get(k, 0) ^ int(x)
+                if gcols:
+                    grouped = pdf.groupby(gcols, sort=False, dropna=False).indices
+                else:
+                    grouped = {(0,): np.arange(len(pdf))}
+                for key, idx in grouped.items():
+                    k = key if isinstance(key, tuple) else (key,)
+                    v = v_all[idx]
+                    st = sketch.build(v)
+                    acc[k] = sketch.merge(acc[k], st) if k in acc else st
+                    nrows[k] = nrows.get(k, 0) + len(idx)
+                    x = np.bitwise_xor.reduce(v.astype(np.int64, copy=False)) if len(v) else 0
+                    cksum[k] = cksum.get(k, 0) ^ int(x)
+
         wall = (time.monotonic() - t0) * 1e3
-        rows = []
-        for k, st in acc.items():
-            rows.append(
-                list(k)
-                + [sketch.to_bytes(st), pid, nrows[k], cksum[k], wall / max(len(acc), 1)]
-            )
-        yield pd.DataFrame(rows, columns=gnames + ["state", "part_id", "n_rows", "checksum", "wall_ms"])
+        rows_out = []
+        if grouped_fast and mat is not None:
+            per = wall / max(len(key_rows), 1)
+            mat2 = mat.reshape(-1, sketch.state_size)
+            for key, r in key_rows.items():
+                rows_out.append(
+                    list(key) + [sketch.to_bytes(mat2[r]), pid, nrows_v[r], cksum_v[r], per]
+                )
+        else:
+            per = wall / max(len(acc), 1)
+            for k, st in acc.items():
+                rows_out.append(list(k) + [sketch.to_bytes(st), pid, nrows[k], cksum[k], per])
+        yield pd.DataFrame(
+            rows_out, columns=gnames + ["state", "part_id", "n_rows", "checksum", "wall_ms"]
+        )
 
     return prepared.mapInPandas(build, out_schema)
 
@@ -142,47 +213,70 @@ def tree_merge(
 ) -> DataFrame:
     """Stage 2: logarithmic tree-reduce of partial states per group.
 
-    Each round shrinks the per-group partial count by ``fanin`` via an
-    ``applyInPandas`` over (group, bucket) where bucket spreads a hot
-    group's partials across ``width`` reducers.  Terminates with one
-    state per group.
+    Each round is ``repartition(width, keys)`` + ``mapInPandas``: one
+    Python invocation per PARTITION (not per group — a per-group
+    applyInPandas pays ~1ms/group, which dominates under
+    high-cardinality group-bys), with vectorized key factorization and
+    ``merge_many`` per group.  Explicit repartition also pins the
+    reduce parallelism — AQE would coalesce these small-byte shuffles
+    to a handful of tasks even though the Python merge cost per byte
+    is high.  Rounds bucket a hot group's partials by partition hash
+    so skew spreads until the fan-in is small.
     """
     gnames = list(group_by) if group_by else [GROUP_ALL]
     gfields = [f for f in partials.schema.fields if f.name in gnames]
     merged_schema = T.StructType(gfields + [T.StructField("state", T.BinaryType())])
-    bucket_schema = T.StructType(
-        gfields + [T.StructField("_bkt", T.IntegerType()), T.StructField("state", T.BinaryType())]
-    )
+    spark = partials.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        states = [sketch.from_bytes(b) for b in pdf["state"]]
+    def _fold(blobs: list) -> Any:
+        states = [sketch.from_bytes(b) for b in blobs]
+        if hasattr(sketch, "merge_many") and len(states) > 1:
+            return sketch.merge_many(states)
         acc = states[0]
         for s in states[1:]:
             acc = sketch.merge(acc, s)
-        out = pdf.iloc[:1][gnames].copy()
-        out["state"] = [sketch.to_bytes(acc)]
-        return out
+        return acc
 
-    def merge_bucketed(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pdf.iloc[:1][gnames + ["_bkt"]].copy()
-        states = [sketch.from_bytes(b) for b in pdf["state"]]
-        acc = states[0]
-        for s in states[1:]:
-            acc = sketch.merge(acc, s)
-        out["state"] = [sketch.to_bytes(acc)]
-        return out
+    def make_merge_fn(extra: list[str]):
+        keycols = gnames + extra
+
+        def merge_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[tuple, Any] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes, uniq = factorize_keys(pdf, keycols)
+                blobs = pdf["state"].to_numpy()
+                order = np.argsort(codes, kind="stable")
+                bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+                uniq_rows = list(uniq.itertuples(index=False, name=None))
+                for g in range(len(uniq)):
+                    idx = order[bounds[g] : bounds[g + 1]]
+                    st = _fold(list(blobs[idx]))
+                    k = uniq_rows[g]
+                    acc[k] = sketch.merge(acc[k], st) if k in acc else st
+            rows = [list(k) + [sketch.to_bytes(st)] for k, st in acc.items()]
+            yield pd.DataFrame(rows, columns=keycols + ["state"])
+
+        return merge_fn
 
     cur = partials.select(*gnames, "state", "part_id")
-    width = n_partials_hint or cur.sparkSession.sparkContext.defaultParallelism
+    width = n_partials_hint or parallelism
+    round_schema = T.StructType(
+        gfields + [T.StructField("part_id", T.IntegerType()), T.StructField("state", T.BinaryType())]
+    )
     while width > fanin:
         width = ceil(width / fanin)
-        cur = cur.withColumn("_bkt", F.pmod(F.xxhash64("part_id"), F.lit(width)).cast("int"))
-        cur = (
-            cur.groupBy(*gnames, "_bkt")
-            .applyInPandas(merge_bucketed, bucket_schema)
-            .withColumn("part_id", F.col("_bkt"))
+        cur = cur.withColumn(
+            "part_id", F.pmod(F.xxhash64("part_id"), F.lit(width)).cast("int")
         )
-    return cur.groupBy(*gnames).applyInPandas(merge_group, merged_schema)
+        cur = cur.repartition(parallelism, *gnames, "part_id").mapInPandas(
+            make_merge_fn(["part_id"]), round_schema
+        )
+    return cur.repartition(parallelism, *gnames).mapInPandas(
+        make_merge_fn([]), merged_schema
+    )
 
 
 def sketch_agg(
@@ -210,7 +304,10 @@ def finalize(
 
     @F.pandas_udf(out_type)
     def _est(states: pd.Series) -> pd.Series:
-        return pd.Series([est(sketch, sketch.from_bytes(b)) for b in states])
+        decoded = [sketch.from_bytes(b) for b in states]
+        if estimator is None and hasattr(sketch, "estimate_many") and len(decoded):
+            return pd.Series(sketch.estimate_many(np.stack(decoded)))
+        return pd.Series([est(sketch, d) for d in decoded])
 
     out = merged.withColumn(out_col, _est(F.col("state"))).drop("state")
     if GROUP_ALL in out.columns:

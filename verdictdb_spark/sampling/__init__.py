@@ -2,6 +2,8 @@ from .scramble import (  # noqa: F401
     BLOCK_COL,
     TIER_COL,
     ScrambleMeta,
+    append_scramble,
+    create_fastconverge_scramble,
     create_scramble,
     load_scramble,
     recommended_block_count,

@@ -131,6 +131,107 @@ def create_scramble(
     return out, meta
 
 
+def create_fastconverge_scramble(
+    df: DataFrame,
+    outlier_column: str,
+    group_column: str | None = None,
+    nblocks: int | None = None,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    seed: int = 42,
+    large_group_threshold: float = 0.01,
+) -> tuple[DataFrame, ScrambleMeta]:
+    """Stratified (FastConverge-style) scramble with 3 tiers.
+
+    Mirrors ``FastConvergeScramblingMethod.java``: tier 0 = outlier
+    rows (|x - mean| > 3.09 sigma on ``outlier_column``,
+    ``FastConvergeScramblingMethod.java:80,196-251``), tier 1 = rows
+    of small groups on ``group_column`` (reference uses an anti-join
+    against a materialized large-group list, ``:253-282``), tier 2 =
+    everything else.  Tier CDFs front-load rare strata so early block
+    prefixes over-sample outliers/small groups and estimates converge
+    fast; the packing constants mirror the reference (tier0 <= 50% of
+    a block, tier0+1 <= 80%, ``:75-78``) in spirit: rare tiers get a
+    steeper CDF.
+
+    Inverse-probability scaling in ``progressive.py`` is already
+    per-tier, so no other code changes are needed.
+    """
+    cnt = df.count()
+    if cnt == 0:
+        raise ValueError("cannot scramble an empty table")
+    n = nblocks or recommended_block_count(cnt, block_size)
+    stats = df.agg(
+        F.avg(outlier_column).alias("mu"), F.stddev_pop(outlier_column).alias("sd")
+    ).first()
+    mu, sd = float(stats["mu"]), float(stats["sd"] or 0.0)
+    is_outlier = (
+        F.abs(F.col(outlier_column) - F.lit(mu)) > F.lit(3.09 * sd)
+        if sd > 0
+        else F.lit(False)
+    )
+    if group_column is not None:
+        large = (
+            df.groupBy(group_column)
+            .count()
+            .where(F.col("count") >= large_group_threshold * cnt)
+            .select(group_column)
+        )
+        in_small = F.col("_lg").isNull()
+        work = df.join(
+            F.broadcast(large.withColumn("_lg", F.lit(1))), group_column, "left"
+        )
+    else:
+        in_small = F.lit(False)
+        work = df
+    tier = (
+        F.when(is_outlier, 0).when(in_small, 1).otherwise(2)
+    )
+    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    # steeper CDF for rarer tiers: tier t of row r goes to block
+    # floor(u^gamma_t * n) with gamma>1 pushing mass toward block 0
+    unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    gammas = {0: 3.0, 1: 2.0, 2: 1.0}
+    block = F.least(
+        F.floor(
+            F.pow(unit, F.when(tier == 0, gammas[0]).when(tier == 1, gammas[1]).otherwise(gammas[2]))
+            * n
+        ).cast("int"),
+        F.lit(n - 1),
+    )
+    out = work.withColumn(TIER_COL, tier).withColumn(BLOCK_COL, block)
+    if group_column is not None:
+        out = out.drop("_lg")
+    # per-tier CDF: P(block <= k | tier t) = ((k+1)/n)^(1/gamma)
+    cdf = {
+        t: [min(((k + 1) / n) ** (1.0 / g), 1.0) for k in range(n)]
+        for t, g in gammas.items()
+    }
+    meta = ScrambleMeta(
+        method="fastconverge", nblocks=n, seed=seed, original_count=cnt, cdf=cdf
+    )
+    return out, meta
+
+
+def append_scramble(
+    new_rows: DataFrame, meta: ScrambleMeta
+) -> DataFrame:
+    """Assign tier/block to NEW rows using the stored meta — the
+    reference's scramble append (``ScramblingCoordinator.
+    appendScramble:212-285``) reuses the stored CDF so old and new
+    blocks stay statistically compatible; with deterministic hashes
+    the transform is identical by construction."""
+    if meta.method == "uniform":
+        h = F.xxhash64(*[F.col(c) for c in new_rows.columns], F.lit(meta.seed))
+        block = F.pmod(h, F.lit(meta.nblocks)).cast("int")
+    elif meta.method == "hash":
+        h = F.xxhash64(F.col(meta.hash_column), F.lit(meta.seed))
+        unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+        block = F.least(F.floor(unit * meta.nblocks).cast("int"), F.lit(meta.nblocks - 1))
+    else:
+        raise ValueError(f"append not supported for method {meta.method!r}")
+    return new_rows.withColumn(TIER_COL, F.lit(0)).withColumn(BLOCK_COL, block)
+
+
 def write_scramble(df: DataFrame, meta: ScrambleMeta, path: str) -> None:
     """Persist block-partitioned parquet + JSON meta sidecar.
 

@@ -65,6 +65,9 @@ class BloomSketch:
     def merge(self, s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
         return np.bitwise_or(s1, s2)
 
+    def merge_many(self, states: list) -> np.ndarray:
+        return np.bitwise_or.reduce(states)
+
     # -- queries ------------------------------------------------------------
     def contains(self, state: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership test for a batch of hashes -> bool array."""

@@ -72,6 +72,9 @@ class CmsSketch:
     def merge(self, s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
         return s1 + s2
 
+    def merge_many(self, states: list) -> np.ndarray:
+        return np.sum(states, axis=0)
+
     # -- queries --------------------------------------------------------------
     def query(self, state: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         """Point-estimate counts for a batch of item hashes (vectorized)."""

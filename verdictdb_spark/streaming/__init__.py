@@ -1,0 +1,2 @@
+from .result_stream import ResultStream  # noqa: F401
+from .incremental import incremental_sketch_sink, read_sketch_state  # noqa: F401
