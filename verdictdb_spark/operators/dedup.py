@@ -297,7 +297,10 @@ def connected_components(
     lineage (at cluster scale swap for reliable checkpoint dir).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # materialize once: every iteration re-reads the edge list, and the
+    # upstream DAG (e.g. MinHash + LSH self-join) must not re-execute
+    # per round
+    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).localCheckpoint()
     labels = (
         sym.select(F.col("s").alias("vertex"))
         .distinct()
