@@ -59,6 +59,28 @@ def test_approx_quantiles_kll_vs_exact(spark, sf_dir):
         assert abs(true_rank - q) <= 3 * (3.3 / 256), (q, true_rank)
 
 
+def test_approx_quantiles_wide_scalar_columns(spark, sf_dir):
+    """The wide shape: one scalar double column per probability, sortable
+    and hashable (the array<double> shape broke result canonicalizers)."""
+    from verdictdb_spark.operators.quantile import approx_quantiles_wide
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = approx_quantiles_wide(
+        li, "l_quantity", [0.25, 0.49, 0.75], group_by=["l_returnflag"], method="kll", k=4096
+    )
+    assert out.columns == ["l_returnflag", "q25", "q49", "q75"]
+    pdf = out.toPandas()
+    assert pdf["q25"].dtype == np.float64  # scalar doubles, not arrays
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile_approx(l_quantity, 0.49, 100000)").alias("m"))
+        .toPandas().set_index("l_returnflag")["m"]
+    )
+    for _, row in pdf.iterrows():
+        assert abs(row["q49"] - exact[row["l_returnflag"]]) <= 1.0
+        assert row["q25"] <= row["q49"] <= row["q75"]
+
+
 def test_approx_quantiles_tdigest_grouped(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     got = approx_quantiles(

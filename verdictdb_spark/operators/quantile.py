@@ -55,6 +55,27 @@ def approx_quantiles(
     return out.drop(GROUP_ALL) if not group_by else out
 
 
+def approx_quantiles_wide(
+    df: DataFrame,
+    col: str | Column,
+    probabilities: Sequence[float],
+    group_by: Sequence[str] = (),
+    names: Sequence[str] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Grouped approximate quantiles, one SCALAR double column per
+    probability (``q25, q50, ...`` by default) — the flat shape that
+    sorts/hashes cleanly in result canonicalizers and BI tools."""
+    probs = [float(p) for p in probabilities]
+    if names is None:
+        names = [f"q{round(p * 100):02d}" for p in probs]
+    if len(names) != len(probs):
+        raise ValueError("names must match probabilities")
+    arr = approx_quantiles(df, col, probs, group_by, out_col="_qarr", **kwargs)
+    cols = list(group_by) + [F.col("_qarr")[i].alias(n) for i, n in enumerate(names)]
+    return arr.select(*cols)
+
+
 def quantile_sketch_table(
     df: DataFrame,
     col: str | Column,

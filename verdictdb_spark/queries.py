@@ -378,14 +378,43 @@ FROM documents GROUP BY lang ORDER BY est_count DESC, value LIMIT 3
 
 
 def approx_quantiles_lineitem(spark, sf_dir):
-    """KLL quantiles (approximate — rows-only check)."""
+    """KLL quantiles, flattened to one scalar column per probability.
+
+    Oracle design: l_quantity is integer-valued 1..50, so each value
+    holds ~2% of the rank mass; the probed probabilities sit at band
+    CENTERS (1% rank margin to the nearest empirical band edge) and
+    KLL at k=4096 has ~0.08% rank error — the sketch provably returns
+    the exact empirical quantile_disc value, so a DuckDB oracle
+    applies.  (p=0.50 would sit exactly ON a band edge for a uniform
+    1..50 column — never probe there.)
+    """
     _prep(spark)
-    from .operators.quantile import approx_quantiles
+    from .operators.quantile import approx_quantiles_wide
 
     li = _t(spark, sf_dir, "lineitem")
-    return approx_quantiles(
-        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99], group_by=["l_returnflag"], method="kll"
+    out = approx_quantiles_wide(
+        li,
+        "l_quantity",
+        [0.25, 0.49, 0.75, 0.99],
+        group_by=["l_returnflag"],
+        names=["q25", "q49", "q75", "q99"],
+        method="kll",
+        k=4096,
+    )
+    return out.select(
+        "l_returnflag",
+        *[F.round(c).cast("long").alias(c) for c in ["q25", "q49", "q75", "q99"]],
     ).orderBy("l_returnflag")
+
+
+QUANTILES_SQL = """
+SELECT l_returnflag,
+       CAST(round(quantile_disc(l_quantity, 0.25)) AS BIGINT) AS q25,
+       CAST(round(quantile_disc(l_quantity, 0.49)) AS BIGINT) AS q49,
+       CAST(round(quantile_disc(l_quantity, 0.75)) AS BIGINT) AS q75,
+       CAST(round(quantile_disc(l_quantity, 0.99)) AS BIGINT) AS q99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 def scramble_progressive_exact(spark, sf_dir):
@@ -709,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_lineitem": ROLLUP_SQL,
         "in_subquery_orders": IN_SUBQ_SQL,
         "approx_topk_lang": TOPK_SQL,
+        "approx_quantiles_lineitem": QUANTILES_SQL,
         "scramble_progressive_exact": SCRAMBLE_SQL,
         "countdistinct_hash_scramble": CD_SCRAMBLE_SQL,
         "bloom_semi_join_count": BLOOM_SQL,
