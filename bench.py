@@ -42,6 +42,9 @@ def main() -> None:
 
     # -- warmup (JVM + python workers) --------------------------------------
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    spark.range(1000).repartition(int(CPUS) if CPUS.isdigit() else 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()  # spin up one Arrow python worker per core before timing
 
     reg = q.queries()
     for name in [

@@ -87,3 +87,51 @@ def test_connected_components(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+
+def test_connected_components_long_chain(spark):
+    """A 200-hop chain: 1-hop-per-round label propagation would need 200
+    rounds; large-star/small-star must converge in O(log^2 n)."""
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    comp = connected_components(edges, max_iter=20).toPandas()
+    assert (comp["component"] == 0).all()
+    assert len(comp) == n + 1
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A corpus with 5k byte-identical docs must complete via the
+    representative-star route, emitting O(m) spanning edges, not
+    O(m^2) all-pairs — and dedup must still collapse them to one."""
+    from verdictdb_spark.operators.dedup import _bucket_pairs, dedup_minhash
+
+    m = 5000
+    docs = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same document text repeated verbatim here").alias("text"),
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=64, shingle=3)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", bands=16, num_hashes=64, hot_bucket_cap=100
+    )
+    n_pairs = pairs.count()
+    assert n_pairs == m - 1  # star edges from the min-id representative
+    out = dedup_minhash(docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle=3)
+    assert out.count() == 1
+
+    # small buckets still do exact all-pairs
+    keyed = spark.createDataFrame(
+        [(i, 0, 7) for i in range(4)], ["_id", "band", "bh"]
+    )
+    assert _bucket_pairs(keyed, ["band", "bh"], hot_bucket_cap=10).count() == 6
+
+
+def test_simhash_hot_bucket_cap(spark):
+    m = 3000
+    docs = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical text body for every single row").alias("text"),
+    )
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=0, hot_bucket_cap=64)
+    assert pairs.count() == m - 1
+    assert pairs.agg(F.max("hamming")).first()[0] == 0
