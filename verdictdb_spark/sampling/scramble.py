@@ -27,6 +27,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,6 +59,14 @@ class ScrambleMeta:
         """CDF mass of blocks [0, upto_block] — the inclusion probability
         used for Horvitz-Thompson inverse scaling (AggMeta.java:170-185)."""
         return self.cdf[tier][min(upto_block, self.nblocks - 1)]
+
+    def block_prob(self, block: int, tier: int = 0) -> float:
+        """Inclusion probability of a SINGLE block for a tier — the CDF
+        increment.  Uniform scrambles give 1/nblocks everywhere;
+        fastconverge tiers are front-loaded, partial-size scrambles
+        sum to < 1 over the kept blocks."""
+        c = self.cdf[tier]
+        return c[block] - (c[block - 1] if block > 0 else 0.0)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -96,6 +105,8 @@ def create_scramble(
     nblocks: int | None = None,
     block_size: int = DEFAULT_BLOCK_SIZE,
     seed: int = 42,
+    size: float = 1.0,
+    nrows: int | None = None,
 ) -> tuple[DataFrame, ScrambleMeta]:
     """Attach tier + block columns; return (scrambled df, meta).
 
@@ -106,28 +117,51 @@ def create_scramble(
       (HashScramblingMethod.java:167-180), which is what makes
       progressive COUNT(DISTINCT column) sum-mergeable: each distinct
       value lands in exactly one block.
+
+    ``size`` < 1 builds a PARTIAL scramble (the reference's ``SIZE p``,
+    ``UniformScramblingMethod.java:83-177``): rows are hashed over
+    ceil(nblocks/size) virtual blocks and only the first ``nblocks``
+    are kept, so the scramble holds ~``size`` of the table and full
+    coverage of it estimates the ORIGINAL table with scale 1/size —
+    at 100 TB a 1% scramble is the first thing a user builds.
+
+    ``nrows``: pass the row count when known to skip the eager
+    ``df.count()`` (it is only used for the block-count policy and the
+    empty-table check; with explicit ``nblocks`` no count runs at all).
     """
-    cnt = df.count()
+    if not (0.0 < size <= 1.0):
+        raise ValueError("size must be in (0, 1]")
+    cnt = nrows
+    if cnt is None and nblocks is None:
+        cnt = df.count()
     if cnt == 0:
         # reference throws on empty scrambles (ScramblingNode.java:237-240)
         raise ValueError("cannot scramble an empty table")
-    n = nblocks or recommended_block_count(cnt, block_size)
+    n = nblocks or recommended_block_count(int(cnt * size), block_size)
+    # virtual block universe: kept prefix [0, n) out of m total
+    m = int(np.ceil(n / size)) if size < 1.0 else n
+    cdf = {0: [(k + 1) / m for k in range(n)]}
     if method == "uniform":
         h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-        block = F.pmod(h, F.lit(n)).cast("int")
-        meta = ScrambleMeta(method="uniform", nblocks=n, seed=seed, original_count=cnt)
+        block = F.pmod(h, F.lit(m)).cast("int")
+        meta = ScrambleMeta(
+            method="uniform", nblocks=n, seed=seed, original_count=cnt, cdf=cdf
+        )
     elif method == "hash":
         if not column:
             raise ValueError("hash scramble requires a column")
         h = F.xxhash64(F.col(column), F.lit(seed))
         unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
-        block = F.least(F.floor(unit * n).cast("int"), F.lit(n - 1))
+        block = F.least(F.floor(unit * m).cast("int"), F.lit(m - 1))
         meta = ScrambleMeta(
-            method="hash", nblocks=n, hash_column=column, seed=seed, original_count=cnt
+            method="hash", nblocks=n, hash_column=column, seed=seed,
+            original_count=cnt, cdf=cdf,
         )
     else:
         raise ValueError(f"unknown scramble method {method!r} (uniform|hash)")
     out = df.withColumn(TIER_COL, F.lit(0)).withColumn(BLOCK_COL, block)
+    if m > n:
+        out = out.where(F.col(BLOCK_COL) < n)
     return out, meta
 
 
@@ -220,16 +254,22 @@ def append_scramble(
     appendScramble:212-285``) reuses the stored CDF so old and new
     blocks stay statistically compatible; with deterministic hashes
     the transform is identical by construction."""
+    # virtual block universe m (> nblocks for partial-size scrambles)
+    # is recoverable from the stored CDF: P(block 0) = 1/m
+    m = int(round(1.0 / meta.cdf[0][0]))
     if meta.method == "uniform":
         h = F.xxhash64(*[F.col(c) for c in new_rows.columns], F.lit(meta.seed))
-        block = F.pmod(h, F.lit(meta.nblocks)).cast("int")
+        block = F.pmod(h, F.lit(m)).cast("int")
     elif meta.method == "hash":
         h = F.xxhash64(F.col(meta.hash_column), F.lit(meta.seed))
         unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
-        block = F.least(F.floor(unit * meta.nblocks).cast("int"), F.lit(meta.nblocks - 1))
+        block = F.least(F.floor(unit * m).cast("int"), F.lit(m - 1))
     else:
         raise ValueError(f"append not supported for method {meta.method!r}")
-    return new_rows.withColumn(TIER_COL, F.lit(0)).withColumn(BLOCK_COL, block)
+    out = new_rows.withColumn(TIER_COL, F.lit(0)).withColumn(BLOCK_COL, block)
+    if m > meta.nblocks:
+        out = out.where(F.col(BLOCK_COL) < meta.nblocks)
+    return out
 
 
 def write_scramble(df: DataFrame, meta: ScrambleMeta, path: str) -> None:
