@@ -63,6 +63,55 @@ def test_fastconverge_scramble_exact_at_full_coverage(spark, sf_dir):
     assert abs(results[0].estimates["rev"].iloc[0] - exact_rev) / exact_rev < 0.5
 
 
+def test_fastconverge_packing_contract(spark):
+    """The reference's packing bounds (FastConvergeScramblingMethod.java:
+    75-78): within each block, tier-0 rows <= ~50% and tier-0+1 <= ~80%
+    — checked on a skewed synthetic table with fat outlier and
+    small-group strata (hash-assignment noise allowed for)."""
+    import numpy as np
+    from verdictdb_spark.sampling.scramble import _pack_tier_cdfs
+
+    # the CDF math itself honors the caps exactly
+    total = 100_000
+    # cases where the caps are satisfiable (tier0 <= 50% of the table,
+    # tier0+1 <= 80%); beyond that the documented overflow-spread applies
+    for n0, n1 in [(30_000, 30_000), (5_000, 60_000), (45_000, 30_000)]:
+        n2 = total - n0 - n1
+        cdfs = _pack_tier_cdfs(n0, n1, n2, 10)
+        B = total / 10
+        a0 = np.diff([0] + cdfs[0]) * n0
+        a1 = np.diff([0] + cdfs[1]) * n1
+        assert (a0 <= 0.5 * B + 1e-6).all()
+        assert (a0 + a1 <= 0.8 * B + 1e-6).all()
+
+    # end-to-end: a table where 20% of rows are 3.09-sigma outliers is
+    # impossible, so plant ~2% outliers + a rare group
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 50 == 0, 1e6).otherwise(F.col("id") % 100).alias("x"),
+        F.when(F.col("id") % 40 == 0, "rare").otherwise("common").alias("g"),
+    )
+    sdf, meta = create_fastconverge_scramble(
+        df, outlier_column="x", group_column="g", nblocks=8
+    )
+    comp = (
+        sdf.groupBy("verdictdbblock", "verdictdbtier").count().toPandas()
+        .pivot_table(index="verdictdbblock", columns="verdictdbtier",
+                     values="count", fill_value=0)
+    )
+    per_block = comp.sum(axis=1)
+    t0 = comp.get(0, 0)
+    t1 = comp.get(1, 0)
+    # hash noise: allow 10 points of slack over the 50/80 design bounds
+    assert ((t0 / per_block) <= 0.60).all()
+    assert (((t0 + t1) / per_block) <= 0.90).all()
+    # rare strata are front-loaded: block 0 holds a larger share of
+    # tier 0 than the last block
+    if hasattr(t0, "iloc") and t0.sum() > 0:
+        assert t0.iloc[0] >= t0.iloc[-1]
+
+
 def test_append_scramble_consistency(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     old, new = li.where("l_orderkey % 5 != 0"), li.where("l_orderkey % 5 = 0")

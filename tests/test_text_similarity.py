@@ -136,6 +136,46 @@ def test_embedding_near_dups_and_dedup(spark, emb):
     assert out.where(F.col("vec_id") >= 100_000).count() == 0
 
 
+def test_embedding_near_dups_hot_bucket(spark):
+    """5k co-located (identical) vectors must route through the
+    representative-star path: O(m) verified edges, no O(m^2) gram
+    matrix in a single python worker."""
+    from pyspark.sql import types as T
+
+    m = 5000
+    vec = [0.5, -1.0, 2.0, 0.25]
+    rows = [(i, vec) for i in range(m)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    pairs = embedding_near_duplicates(
+        df, "vec_id", "embedding", threshold=0.9999, n_rows=m, hot_bucket_cap=100
+    )
+    pdf = pairs.toPandas()
+    assert len(pdf) == m - 1  # star edges from vec_id 0
+    assert (pdf["id_a"] == 0).all()
+    assert (pdf["cosine"] >= 0.9999).all()
+    out = dedup_embeddings(df, "vec_id", "embedding", threshold=0.9999, n_rows=m, hot_bucket_cap=100)
+    assert out.count() == 1
+
+
+def test_lsh_params_scale_with_corpus():
+    from verdictdb_spark.operators.similarity import _lsh_params
+
+    p_small, b_small = _lsh_params(10_000, 0.95, 1024)
+    p_big, b_big = _lsh_params(10**9, 0.95, 1024)
+    assert p_big > p_small  # bucket key grows with corpus
+    for n in (10_000, 10**9):
+        p, b = _lsh_params(n, 0.95, 1024)
+        theta = np.arccos(0.95)
+        recall = 1 - (1 - (1 - theta / np.pi) ** p) ** b
+        assert recall >= 0.85, (n, p, b, recall)
+
+
 # ----------------------------------------------------------- multimodal
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, rows=60)
@@ -156,5 +196,43 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(media, n_frames=4, fake=True)
     assert frames.count() == 20 * 4
 
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        decode_images(media, fake=False).count()
+
+def test_multimodal_real_codecs(spark):
+    """Genuine BMP/WAV blobs decode through the pure-numpy codecs —
+    round-trip checked against the encoder inputs."""
+    from verdictdb_spark.operators.multimodal import (
+        decode_audio,
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    # encoder/decoder round trip, driver-side
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    w, h, c, mean = decode_bmp(encode_bmp(px))
+    assert (w, h, c) == (7, 5, 3)
+    assert mean == pytest.approx(float(px.mean()))
+    samples = (np.sin(np.linspace(0, 20, 400)) * 10000).astype(np.int16)
+    rate, n, ch, rms = decode_wav(encode_wav(samples, rate=8000))
+    assert (rate, n, ch) == (8000, 400, 1)
+    assert rms == pytest.approx(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))))
+    ppm = b"P6\n# comment\n3 2\n255\n" + bytes(range(18))
+    assert decode_ppm(ppm) == (3, 2, 3, pytest.approx(8.5))
+
+    # distributed real decode over the synthetic table
+    media = synthetic_media(spark, rows=60)
+    imgs = decode_images(media, fake=False).toPandas()
+    assert len(imgs) == 20
+    assert ((imgs["width"] >= 4) & (imgs["width"] < 24) & (imgs["channels"] == 3)).all()
+    assert ((imgs["mean_pixel"] >= 0) & (imgs["mean_pixel"] <= 255)).all()
+    aud = decode_audio(media).toPandas()
+    assert len(aud) == 20
+    assert (aud["sample_rate"] == 8000).all() and (aud["rms"] > 0).all()
+
+    # compressed formats still refuse honestly
+    from verdictdb_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="external codec"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")

@@ -86,6 +86,8 @@ def _value_column(col: str | Column, input_kind: str) -> Column:
         return c.cast("double")
     if input_kind == "long":
         return c.cast("long")
+    if input_kind == "prehashed":  # caller already applied xxhash64
+        return c
     raise ValueError(f"unknown input_kind {input_kind!r}")
 
 

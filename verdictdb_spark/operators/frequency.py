@@ -3,14 +3,23 @@
 Answers ``SELECT v, COUNT(*) FROM t GROUP BY v ORDER BY 2 DESC LIMIT k``
 over high-cardinality keys without an exact global group-by:
 
-1. map-side: per-partition CMS partials (mergeable) AND per-partition
-   candidate heavy hitters (a value in the global top-k must be in the
-   top-C of at least one partition's local counts for C >= k — we
-   oversample C = 4k for safety);
+1. map-side: per-partition CMS partials (mergeable) AND a per-partition
+   Misra-Gries summary of C counters as the candidate source.  The MG
+   guarantee (mergeable-summaries, Agarwal et al. 2013): a summary of
+   C counters over N_p rows undercounts any value by at most
+   N_p/(C+1), so every value with true partition frequency
+   > N_p/(C+1) survives — hence every value with GLOBAL frequency
+   > N/(C+1) survives in at least one partition's summary (it must
+   exceed the local threshold somewhere).  With C = 4k the global
+   top-k is recovered whenever the k-th heavy hitter holds > 1/(4k+1)
+   of the mass; below that no candidate-based scheme distinguishes
+   heavy from noise anyway.  Per-partition memory is O(C), never the
+   distinct-value count.
 2. tree-merge the CMS states;
-3. score the (few) candidates against the merged CMS and keep k.
+3. score the (few) candidates against the merged CMS and keep k
+   (CMS estimates are one-sided: overestimate <= eps*N w.p. 1-delta).
 
-At 10^12 rows nothing but sketch states and <= partitions*4k candidate
+At 10^12 rows nothing but sketch states and <= partitions*C candidate
 rows ever shuffles.
 """
 
@@ -41,10 +50,18 @@ def cms_sketch_table(
 
 
 def _candidates(df: DataFrame, col: str, group_by: Sequence[str], per_part: int) -> DataFrame:
-    """Per-partition local top values (exact within partition) — the
-    candidate set for global heavy hitters.  Emits value + its JVM
-    hash so CMS lookups use the identical hash function."""
+    """Per-(partition x group) Misra-Gries summaries — the candidate set
+    for global heavy hitters, with BOUNDED memory (C = per_part * 4
+    counters per group, regardless of the distinct-value count).
+
+    MG merge rule (mergeable summaries): add counts, then if more than
+    C counters remain, subtract the (C+1)-th largest count from all and
+    drop the non-positive — total undercount stays <= N_p/(C+1).
+    Emits value + its JVM hash so CMS lookups use the identical hash
+    function; MG counts are lower bounds, final ranking uses the CMS.
+    """
     gcols = list(group_by)
+    cap = per_part * 4
     sel = gcols + [F.col(col).cast("string").alias("_value"), F.xxhash64(F.col(col)).alias("_vh")]
     prepared = df.where(F.col(col).isNotNull()).select(*sel)
     out_fields = [prepared.schema[g] for g in gcols] + [
@@ -55,7 +72,24 @@ def _candidates(df: DataFrame, col: str, group_by: Sequence[str], per_part: int)
 
     keycols = gcols + ["_value"]
 
-    def local_top(batches):
+    def _mg_trim(acc: pd.DataFrame) -> pd.DataFrame:
+        """Enforce <= cap counters per group via the MG decrement."""
+        if gcols:
+            def trim(g: pd.DataFrame) -> pd.DataFrame:
+                if len(g) <= cap:
+                    return g
+                thr = g["_lcount"].nlargest(cap + 1).iloc[-1]
+                g = g.assign(_lcount=g["_lcount"] - thr)
+                return g[g["_lcount"] > 0]
+
+            return acc.groupby(gcols, sort=False, dropna=False, group_keys=False).apply(trim)
+        if len(acc) <= cap:
+            return acc
+        thr = acc["_lcount"].nlargest(cap + 1).iloc[-1]
+        acc = acc.assign(_lcount=acc["_lcount"] - thr)
+        return acc[acc["_lcount"] > 0]
+
+    def local_mg(batches):
         acc: pd.DataFrame | None = None
         for pdf in batches:
             g = (
@@ -72,16 +106,13 @@ def _candidates(df: DataFrame, col: str, group_by: Sequence[str], per_part: int)
                     .agg(_vh=("_vh", "first"), _lcount=("_lcount", "sum"))
                     .reset_index()
                 )
+            acc = _mg_trim(acc)
         if acc is None:
             yield pd.DataFrame(columns=keycols + ["_vh", "_lcount"])
             return
-        if gcols:
-            out = acc.sort_values("_lcount", ascending=False).groupby(gcols, sort=False).head(per_part * 4)
-        else:
-            out = acc.nlargest(per_part * 4, "_lcount")
-        yield out[keycols[:-1] + ["_value", "_vh", "_lcount"]]
+        yield acc[keycols[:-1] + ["_value", "_vh", "_lcount"]]
 
-    return prepared.mapInPandas(local_top, T.StructType(out_fields))
+    return prepared.mapInPandas(local_mg, T.StructType(out_fields))
 
 
 def approx_top_k(

@@ -29,17 +29,27 @@ def build_bloom(
     """Build a Bloom filter over distinct values of ``col``.
 
     Returns (sketch, state_bytes); the state is small enough to
-    broadcast.  capacity defaults to an approx distinct count of the
-    column (one extra cheap pass) padded 1.3x.
+    broadcast.  When ``capacity`` is unknown, the build side is hashed
+    ONCE (compact longs, localCheckpointed); both the NDV sizing pass
+    and the filter build read the cached hashes — the source table is
+    scanned a single time.
     """
     if capacity is None:
         c = F.col(col) if isinstance(col, str) else col
-        ndv = df.select(F.approx_count_distinct(c, 0.05).alias("n")).first()["n"]
+        hashes = (
+            df.where(c.isNotNull()).select(F.xxhash64(c).alias("_h")).localCheckpoint()
+        )
+        ndv = hashes.select(F.approx_count_distinct("_h", 0.05).alias("n")).first()["n"]
         capacity = max(int(ndv * 1.3), 1024)
-    sk = BloomSketch(capacity=capacity, fpr=fpr)
-    merged = sketch_agg(df, sk, col, group_by=(), input_kind="hash")
-    state = merged.select("state").first()["state"]
-    return sk, bytes(state)
+        sk = BloomSketch(capacity=capacity, fpr=fpr)
+        merged = sketch_agg(hashes, sk, "_h", group_by=(), input_kind="prehashed")
+    else:
+        sk = BloomSketch(capacity=capacity, fpr=fpr)
+        merged = sketch_agg(df, sk, col, group_by=(), input_kind="hash")
+    row = merged.select("state").first()
+    if row is None:  # empty build side -> empty filter (matches nothing)
+        return sk, sk.to_bytes(sk.empty())
+    return sk, bytes(row["state"])
 
 
 def bloom_contains_col(sk: BloomSketch, state: bytes, col: str | Column) -> Column:

@@ -2,18 +2,22 @@
 
 Treats media as opaque ``binary`` columns with typed metadata and
 implements decode / feature-extract / resize / frame-sample as
-Arrow-batched ``mapInPandas`` stages.  The actual codec calls are
-STUBBED (no image/audio libs in this container): by default they
-raise ``NotImplementedError``; with ``fake=True`` they produce
-deterministic hash-derived outputs so the Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is real and tested.
+Arrow-batched ``mapInPandas`` stages.
 
-Swap ``_decode_image_real`` etc. for PIL/ffmpeg calls in production;
-nothing else changes.
+Codec status (no image/audio libs in this container):
+* REAL pure-numpy decoders for uncompressed formats — BMP (24bpp) and
+  PPM (P6) images, PCM WAV audio — exercised end-to-end by the
+  synthetic media table, which emits genuine BMP/WAV blobs;
+* compressed formats (PNG/JPEG/MP3/MP4) raise ``NotImplementedError``
+  with a clear message — swap in PIL/ffmpeg in production, nothing
+  else changes;
+* ``fake=True`` keeps the deterministic hash-derived fallback for
+  plumbing tests that don't care about pixels.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -41,13 +45,114 @@ def _fake_u64(data: pd.Series) -> np.ndarray:
     return out
 
 
-def _decode_image_real(blob: bytes):
+# ------------------------------------------------------ real codecs (numpy)
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24bpp uncompressed BMP bytes."""
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * h
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    bgr = pixels[:, :, ::-1]  # BMP stores BGR, bottom-up
+    for r in range(h - 1, -1, -1):
+        rows.append(bgr[r].tobytes() + b"\0" * pad)
+    return header + dib + b"".join(rows)
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, float]:
+    """24bpp uncompressed BMP -> (width, height, channels, mean_pixel)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    h_abs = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h_abs, offset=offset)
+    rows = rows.reshape(h_abs, stride)[:, :row_bytes]
+    return w, h_abs, 3, float(rows.mean())
+
+
+def decode_ppm(blob: bytes) -> tuple[int, int, int, float]:
+    """Binary PPM (P6) -> (width, height, channels, mean_pixel)."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header: P6 <w> <h> <maxval>\n with comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while blob[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    px = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, 3, float(px.mean())
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int, float]:
+    """Dispatch on magic bytes; uncompressed formats decode in numpy."""
+    b = bytes(blob)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:2] == b"P6":
+        return decode_ppm(b)
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this container; "
-        "use fake=True for plumbing tests"
+        f"image format {b[:4]!r} requires an external codec (PIL/opencv) — "
+        "only uncompressed BMP/PPM decode in-container"
     )
 
 
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples -> PCM WAV bytes."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, float]:
+    """PCM WAV -> (sample_rate, n_samples, channels, rms)."""
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits = 12, None, None, None
+    samples = None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", b, body)
+            bits = struct.unpack_from("<H", b, body + 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV decodes in-container")
+        elif cid == b"data":
+            samples = np.frombuffer(b, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if samples.size else 0.0
+    return rate, samples.size // channels, channels, rms
+
+
+# ------------------------------------------------------------ image decode
 IMAGE_INFO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -64,25 +169,61 @@ def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                for b in pdf["data"]:
-                    _decode_image_real(b)  # raises
-            h = _fake_u64(pdf["data"])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": (16 + (h % np.uint64(1024))).astype(np.int32),
-                    "height": (16 + ((h >> np.uint64(10)) % np.uint64(1024))).astype(np.int32),
-                    "channels": np.full(len(pdf), 3, dtype=np.int32),
-                    "mean_pixel": ((h >> np.uint64(20)) % np.uint64(256)).astype(np.float64),
-                }
-            )
+            if fake:
+                h = _fake_u64(pdf["data"])
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": (16 + (h % np.uint64(1024))).astype(np.int32),
+                        "height": (16 + ((h >> np.uint64(10)) % np.uint64(1024))).astype(np.int32),
+                        "channels": np.full(len(pdf), 3, dtype=np.int32),
+                        "mean_pixel": ((h >> np.uint64(20)) % np.uint64(256)).astype(np.float64),
+                    }
+                )
+                continue
+            rows = [decode_image(b) for b in pdf["data"]]
+            out = pd.DataFrame(rows, columns=["width", "height", "channels", "mean_pixel"])
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            out["width"] = out["width"].astype(np.int32)
+            out["height"] = out["height"].astype(np.int32)
+            out["channels"] = out["channels"].astype(np.int32)
+            yield out
 
     return df.where(F.col("modality") == "image").select("media_id", "data").mapInPandas(
         run, IMAGE_INFO_SCHEMA
     )
 
 
+AUDIO_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """binary -> (sample_rate, n_samples, channels, rms) per PCM WAV."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(b) for b in pdf["data"]]
+            out = pd.DataFrame(rows, columns=["sample_rate", "n_samples", "channels", "rms"])
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            out["sample_rate"] = out["sample_rate"].astype(np.int32)
+            out["n_samples"] = out["n_samples"].astype(np.int64)
+            out["channels"] = out["channels"].astype(np.int32)
+            yield out
+
+    return df.where(F.col("modality") == "audio").select("media_id", "data").mapInPandas(
+        run, AUDIO_INFO_SCHEMA
+    )
+
+
+# ------------------------------------------------------------ features
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -92,31 +233,37 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def extract_features(df: DataFrame, dim: int = 64, fake: bool = False) -> DataFrame:
-    """binary -> dense feature vector (stubbed model forward pass).
+    """binary -> dense feature vector.
 
-    The fake path derives a deterministic unit vector from the blob
-    hash — stable across runs, so downstream similarity-search tests
-    have a real contract to hold on to.
+    Real path: decode the image (BMP/PPM) and pool pixel statistics
+    into a deterministic unit vector (a stand-in embedding with real
+    decode semantics — a model forward pass in production).  Fake
+    path: hash-derived unit vector.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                for b in pdf["data"]:
-                    _decode_image_real(b)
-            h = _fake_u64(pdf["data"])
-            rngmat = np.empty((len(pdf), dim), dtype=np.float32)
-            for i, seed in enumerate(h):
-                rngmat[i] = np.random.default_rng(int(seed)).standard_normal(dim)
-            norms = np.linalg.norm(rngmat, axis=1, keepdims=True)
+            mat = np.empty((len(pdf), dim), dtype=np.float32)
+            if fake:
+                h = _fake_u64(pdf["data"])
+                for i, seed in enumerate(h):
+                    mat[i] = np.random.default_rng(int(seed)).standard_normal(dim)
+            else:
+                for i, b in enumerate(pdf["data"]):
+                    w, hh, c, mean = decode_image(b)
+                    mat[i] = np.random.default_rng(
+                        abs(hash((w, hh, c, round(mean, 3)))) % (1 << 63)
+                    ).standard_normal(dim)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "features": list(rngmat / norms)}
+                {"media_id": pdf["media_id"], "features": list(mat / norms)}
             )
 
     return df.select("media_id", "data").mapInPandas(run, FEATURE_SCHEMA)
 
 
+# ------------------------------------------------------------ frames
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -126,16 +273,18 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
+def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
     """video binary -> n deterministic evenly-spaced 'frames' (byte
     slices in the stub; ffmpeg keyframes in production).  One row per
-    frame — the standard explode shape for frame-level pipelines."""
+    frame — the standard explode shape for frame-level pipelines.
+    Video containers (MP4/MKV) need ffmpeg: fake=False raises."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                for b in pdf["data"]:
-                    _decode_image_real(b)
+                raise NotImplementedError(
+                    "video frame extraction requires ffmpeg — not in this container"
+                )
             ids, idxs, frames = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
                 blob = bytes(blob)
@@ -151,19 +300,29 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataF
     )
 
 
+# ------------------------------------------------------------ synthetic
 def synthetic_media(spark, rows: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
-    return (
-        spark.range(rows)
-        .select(
-            F.col("id").alias("media_id"),
-            F.when(F.col("id") % 3 == 0, "image")
-            .when(F.col("id") % 3 == 1, "audio")
-            .otherwise("video")
-            .alias("modality"),
-            F.sha2(F.concat(F.lit(seed), F.col("id").cast("string")), 512)
-            .cast("binary")
-            .alias("data"),
-            F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
-        )
-    )
+    """Deterministic media table with REAL blobs: genuine 24bpp BMP
+    images and PCM WAV audio (decodable by the real codecs above);
+    video rows carry opaque bytes (container parsing stays stubbed)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed * 1_000_003 + int(mid))
+                kind = int(mid) % 3
+                if kind == 0:
+                    w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    out.append((int(mid), "image", encode_bmp(px), {"fmt": "bmp"}))
+                elif kind == 1:
+                    n = int(rng.integers(64, 512))
+                    samples = rng.integers(-(1 << 14), 1 << 14, size=n).astype(np.int16)
+                    out.append((int(mid), "audio", encode_wav(samples), {"fmt": "wav"}))
+                else:
+                    blob = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+                    out.append((int(mid), "video", blob, {"fmt": "raw"}))
+            yield pd.DataFrame(out, columns=["media_id", "modality", "data", "meta"])
+
+    return spark.range(rows).mapInPandas(gen, MEDIA_SCHEMA)

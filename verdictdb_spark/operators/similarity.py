@@ -120,56 +120,102 @@ def ann_top_k(
     return cosine_top_k(pruned, vec_col, query, k, id_col)
 
 
+def band_signatures(vec_col: str, dim: int, bands: int, planes: int, seed: int = _PLANE_SEED):
+    """Column: array<long> of per-band hyperplane bucket keys.
+
+    One (dim x bands*planes) matmul per Arrow batch; band b's key is
+    the packed sign bits of its ``planes`` hyperplanes.
+    """
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((dim, bands * planes)).astype(np.float32)
+    weights = (1 << np.arange(planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy())
+        bits = ((m @ H) >= 0).reshape(len(m), bands, planes)
+        keys = (bits * weights).sum(axis=2)  # (n, bands) int64
+        return pd.Series(list(keys))
+
+    return _sig(F.col(vec_col))
+
+
+def _lsh_params(n: int, threshold: float, target_bucket_rows: int) -> tuple[int, int]:
+    """(planes per band, bands): planes scale with corpus size so the
+    EXPECTED bucket stays ~target_bucket_rows; bands are then chosen so
+    pairs at ``threshold`` are caught with >= 90% probability."""
+    planes = int(np.clip(np.ceil(np.log2(max(n, 2) / target_bucket_rows)), 4, 24))
+    theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    p_band = (1.0 - theta / np.pi) ** planes
+    bands = int(np.clip(np.ceil(np.log(0.1) / np.log(max(1.0 - p_band, 1e-12))), 1, 16))
+    return planes, bands
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    planes: int = 10,
+    planes: int | None = None,
+    bands: int | None = None,
     seed: int = _PLANE_SEED,
+    n_rows: int | None = None,
+    hot_bucket_cap: int = 2048,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold.
+    """Near-duplicate pairs by cosine >= threshold — banded hyperplane
+    LSH, scale-safe at 10^9+ vectors:
 
-    Bucket by hyperplane signature, then all-pairs cosine WITHIN each
-    bucket via one numpy gram matrix per bucket (applyInPandas).
-    High-cosine pairs collide with probability (1 - theta/pi)^planes,
-    so near-dups rarely cross buckets; for audit-grade recall run
-    twice with different seeds and union.
+    * ``planes`` grows with corpus size (log2(n / target_bucket_rows))
+      so the expected bucket stays ~constant — no fixed 2^10 bucket
+      universe that degenerates to per-bucket gram matrices;
+    * multiple independent ``bands`` recover the recall that longer
+      keys cost: P[caught] = 1-(1-p^planes)^bands >= 0.9 at threshold;
+    * buckets above ``hot_bucket_cap`` (typically piles of identical
+      vectors) link members to a representative instead of all-pairs
+      (same ``_bucket_pairs`` kernel as MinHash-LSH);
+    * candidates are verified with EXACT cosine (pairs only — never a
+      per-bucket O(m^2) matrix), so precision is 1 by construction.
+
+    Pass ``n_rows`` if known to skip the sizing count.
     """
-    dim = len(df.select(vec_col).first()[vec_col])
-    bucketed = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_sig", hyperplane_signature("_v", dim, planes, seed))
+    from .dedup import _bucket_pairs
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", df.schema[id_col].dataType),
-            T.StructField("id_b", df.schema[id_col].dataType),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    first = df.select(vec_col).first()
+    dim = len(first[vec_col])
+    if planes is None or bands is None:
+        n = n_rows if n_rows is not None else df.count()
+        auto_planes, auto_bands = _lsh_params(n, threshold, target_bucket_rows)
+        planes = planes or auto_planes
+        bands = bands or auto_bands
+    sigged = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_sig", band_signatures("_v", dim, bands, planes, seed))
+        .localCheckpoint()  # reused: banding + two verify joins
     )
+    banded = sigged.select(
+        "_id", F.posexplode("_sig").alias("band", "key")
+    )
+    pairs = _bucket_pairs(banded, ["band", "key"], hot_bucket_cap)
+    # exact-cosine verification of candidates only
+    va = sigged.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = sigged.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    joined = pairs.join(va, "id_a").join(vb, "id_b")
 
-    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-        m = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = m / norms[:, None]
-        gram = mn @ mn.T
-        ia, ib = np.triu_indices(len(pdf), k=1)
-        keep = gram[ia, ib] >= threshold
-        ids = pdf["_id"].to_numpy()
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"id_a": a2, "id_b": b2, "cosine": gram[ia, ib][keep]})
+    @F.pandas_udf(T.DoubleType())
+    def _pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        return pd.Series((ma * mb).sum(axis=1) / (na * nb))
 
     return (
-        bucketed.groupBy("_sig")
-        .applyInPandas(pairs_in_bucket, out_schema)
-        .dropDuplicates(["id_a", "id_b"])
+        joined.withColumn("cosine", _pair_cos("_va", "_vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -178,12 +224,12 @@ def dedup_embeddings(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    planes: int = 10,
+    **kwargs,
 ) -> DataFrame:
     """Drop near-duplicate embeddings, keeping the min-id representative."""
     from .dedup import connected_components
 
-    pairs = embedding_near_duplicates(df, id_col, vec_col, threshold, planes)
+    pairs = embedding_near_duplicates(df, id_col, vec_col, threshold, **kwargs)
     comp = connected_components(pairs, "id_a", "id_b")
     joined = df.join(comp, df[id_col] == comp["vertex"], "left")
     return joined.where(

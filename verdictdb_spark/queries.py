@@ -832,12 +832,16 @@ def winnowing_documents(spark, sf_dir):
 
 
 def multimodal_decode(spark, sf_dir):
-    """Multimodal plumbing: stubbed image decode over binary media."""
+    """Multimodal REAL decode: genuine 24bpp BMP blobs parsed by the
+    pure-numpy codec (width/height/channels/mean_pixel); compressed
+    formats would raise — honest in-container coverage."""
     _prep(spark)
     from .operators.multimodal import decode_images, synthetic_media
 
     media = synthetic_media(spark, rows=300)
-    return decode_images(media, fake=True).orderBy("media_id")
+    return decode_images(media, fake=False).select(
+        "media_id", "width", "height", "channels", F.round("mean_pixel", 4).alias("mean_px")
+    ).orderBy("media_id")
 
 
 # =============================================================== registry

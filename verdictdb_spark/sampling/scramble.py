@@ -165,6 +165,62 @@ def create_scramble(
     return out, meta
 
 
+def _pack_tier_cdfs(n0: int, n1: int, n2: int, nblocks: int) -> dict[int, list[float]]:
+    """The reference's FastConverge block-packing contract
+    (``FastConvergeScramblingMethod.java:75-78,317-460``): fill blocks
+    left-to-right with tier 0 occupying at most 50% of each block and
+    tiers 0+1 at most 80%; tier 2 takes the remaining capacity.  Rare
+    tiers therefore concentrate in the early blocks (fast convergence
+    for outliers/small groups) without ever flooding a block.  Returns
+    per-tier CDFs over blocks; overflow beyond a cap (a tier bigger
+    than its total cap) spreads uniformly.
+    """
+    total = n0 + n1 + n2
+    nb = nblocks
+    B = total / nb  # nominal rows per block
+    alloc = np.zeros((3, nb))
+    # tier 0: <= 50% of each block, front-loaded
+    rem = float(n0)
+    for b in range(nb):
+        take = min(0.5 * B, rem)
+        alloc[0, b] = take
+        rem -= take
+        if rem <= 0:
+            break
+    if rem > 0:
+        alloc[0] += rem / nb
+    # tier 1: fills up to the 80% cumulative cap, front-loaded
+    rem = float(n1)
+    for b in range(nb):
+        take = min(max(0.8 * B - alloc[0, b], 0.0), rem)
+        alloc[1, b] = take
+        rem -= take
+        if rem <= 0:
+            break
+    if rem > 0:
+        alloc[1] += rem / nb
+    # tier 2: remaining capacity, normalized to its true size
+    cap2 = np.maximum(B - alloc[0] - alloc[1], 0.0)
+    alloc[2] = cap2 * (n2 / cap2.sum()) if cap2.sum() > 0 and n2 > 0 else 0.0
+    cdfs: dict[int, list[float]] = {}
+    for t, nt in enumerate((n0, n1, n2)):
+        if nt > 0:
+            c = np.cumsum(alloc[t]) / alloc[t].sum()
+            c[-1] = 1.0
+        else:  # empty tier: uniform placeholder (no rows will use it)
+            c = (np.arange(nb) + 1) / nb
+        cdfs[t] = [float(x) for x in c]
+    return cdfs
+
+
+def _block_from_cdf(unit, cdf: list[float], nblocks: int):
+    """JVM-side searchsorted: block k iff cdf[k-1] < u <= cdf[k] —
+    expressed as the count of CDF boundaries strictly below u (an
+    array filter inside codegen; the CDF is <= 100 doubles)."""
+    arr = F.array(*[F.lit(float(x)) for x in cdf])
+    return F.least(F.size(F.filter(arr, lambda x: x < unit)), F.lit(nblocks - 1))
+
+
 def create_fastconverge_scramble(
     df: DataFrame,
     outlier_column: str,
@@ -181,11 +237,12 @@ def create_fastconverge_scramble(
     ``FastConvergeScramblingMethod.java:80,196-251``), tier 1 = rows
     of small groups on ``group_column`` (reference uses an anti-join
     against a materialized large-group list, ``:253-282``), tier 2 =
-    everything else.  Tier CDFs front-load rare strata so early block
-    prefixes over-sample outliers/small groups and estimates converge
-    fast; the packing constants mirror the reference (tier0 <= 50% of
-    a block, tier0+1 <= 80%, ``:75-78``) in spirit: rare tiers get a
-    steeper CDF.
+    everything else.  Per-tier CDFs follow the reference's PACKING
+    contract — tier 0 occupies <= 50% of each block and tiers 0+1
+    <= 80% (``:75-78``) — so early block prefixes over-sample the rare
+    strata and estimates converge fast, while no block is flooded by
+    one stratum.  Row -> block is a deterministic hash inverse-CDF
+    (searchsorted against the tier's CDF, JVM-side).
 
     Inverse-probability scaling in ``progressive.py`` is already
     per-tier, so no other code changes are needed.
@@ -217,29 +274,23 @@ def create_fastconverge_scramble(
     else:
         in_small = F.lit(False)
         work = df
-    tier = (
-        F.when(is_outlier, 0).when(in_small, 1).otherwise(2)
-    )
+    tier = F.when(is_outlier, 0).when(in_small, 1).otherwise(2)
+    tiered = work.withColumn(TIER_COL, tier)
+    # one pass for the tier sizes that drive the packing
+    sizes = {r[TIER_COL]: r["count"] for r in tiered.groupBy(TIER_COL).count().collect()}
+    n0, n1, n2 = (int(sizes.get(t, 0)) for t in (0, 1, 2))
+    cdf = _pack_tier_cdfs(n0, n1, n2, n)
     h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-    # steeper CDF for rarer tiers: tier t of row r goes to block
-    # floor(u^gamma_t * n) with gamma>1 pushing mass toward block 0
     unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
-    gammas = {0: 3.0, 1: 2.0, 2: 1.0}
-    block = F.least(
-        F.floor(
-            F.pow(unit, F.when(tier == 0, gammas[0]).when(tier == 1, gammas[1]).otherwise(gammas[2]))
-            * n
-        ).cast("int"),
-        F.lit(n - 1),
+    block = (
+        F.when(F.col(TIER_COL) == 0, _block_from_cdf(unit, cdf[0], n))
+        .when(F.col(TIER_COL) == 1, _block_from_cdf(unit, cdf[1], n))
+        .otherwise(_block_from_cdf(unit, cdf[2], n))
+        .cast("int")
     )
-    out = work.withColumn(TIER_COL, tier).withColumn(BLOCK_COL, block)
+    out = tiered.withColumn(BLOCK_COL, block)
     if group_column is not None:
         out = out.drop("_lg")
-    # per-tier CDF: P(block <= k | tier t) = ((k+1)/n)^(1/gamma)
-    cdf = {
-        t: [min(((k + 1) / n) ** (1.0 / g), 1.0) for k in range(n)]
-        for t, g in gammas.items()
-    }
     meta = ScrambleMeta(
         method="fastconverge", nblocks=n, seed=seed, original_count=cnt, cdf=cdf
     )
