@@ -49,25 +49,9 @@ def main() -> None:
     # offline step) — build/persist them outside the timed section
     q.ensure_scrambles(spark, SF_DIR)
 
+    # every registered query — regressions anywhere are visible round-over-round
     reg = q.queries()
-    for name in [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier",
-        "events_by_day",
-        "window_top_order_per_customer",
-        "sessionize_events",
-        "approx_ndv_documents",
-        "approx_topk_lang",
-        "approx_quantiles_lineitem",
-        "scramble_progressive_exact",
-        "countdistinct_hash_scramble",
-        "bloom_semi_join_count",
-        "dedup_exact_documents",
-        "dedup_minhash_documents",
-        "text_stats_documents",
-        "similarity_topk_embeddings",
-    ]:
+    for name in reg:
         run(name, lambda n=name: reg[n](spark, SF_DIR).collect())
 
     # -- north-rule throughput: sketch build + merge on the code table -------

@@ -140,14 +140,22 @@ def band_signatures(vec_col: str, dim: int, bands: int, planes: int, seed: int =
     return _sig(F.col(vec_col))
 
 
-def _lsh_params(n: int, threshold: float, target_bucket_rows: int) -> tuple[int, int]:
-    """(planes per band, bands): planes scale with corpus size so the
-    EXPECTED bucket stays ~target_bucket_rows; bands are then chosen so
-    pairs at ``threshold`` are caught with >= 90% probability."""
-    planes = int(np.clip(np.ceil(np.log2(max(n, 2) / target_bucket_rows)), 4, 24))
+def _lsh_params(n: int, threshold: float, collisions_per_row: float = 1.0) -> tuple[int, int]:
+    """(planes per band, bands), sized so CANDIDATE VERIFICATION stays
+    linear: a random (near-orthogonal) pair collides in one band with
+    probability ~0.5^planes, so expected random candidates per band are
+    n^2/2 * 0.5^planes — planes = log2(n / (2*collisions_per_row))
+    bounds that at ~collisions_per_row * n total.  Bands then restore
+    recall for TRUE pairs at ``threshold``:
+    P[caught] = 1 - (1 - (1-theta/pi)^planes)^bands >= 0.9.
+
+    The earlier "target expected bucket ~1024 rows" sizing was a
+    scale bug: a bucket of 1024 random vectors already emits ~500k
+    all-pairs candidates; bucket size must be O(1), not O(1024)."""
+    planes = int(np.clip(np.ceil(np.log2(max(n, 4) / (2.0 * collisions_per_row))), 8, 40))
     theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
     p_band = (1.0 - theta / np.pi) ** planes
-    bands = int(np.clip(np.ceil(np.log(0.1) / np.log(max(1.0 - p_band, 1e-12))), 1, 16))
+    bands = int(np.clip(np.ceil(np.log(0.1) / np.log(max(1.0 - p_band, 1e-12))), 1, 32))
     return planes, bands
 
 
@@ -161,14 +169,14 @@ def embedding_near_duplicates(
     seed: int = _PLANE_SEED,
     n_rows: int | None = None,
     hot_bucket_cap: int = 2048,
-    target_bucket_rows: int = 1024,
+    collisions_per_row: float = 1.0,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold — banded hyperplane
     LSH, scale-safe at 10^9+ vectors:
 
-    * ``planes`` grows with corpus size (log2(n / target_bucket_rows))
-      so the expected bucket stays ~constant — no fixed 2^10 bucket
-      universe that degenerates to per-bucket gram matrices;
+    * ``planes`` grows with corpus size (~log2 n) so EXPECTED RANDOM
+      candidates stay ~``collisions_per_row`` per row per band — no
+      fixed bucket universe that degenerates to quadratic verify work;
     * multiple independent ``bands`` recover the recall that longer
       keys cost: P[caught] = 1-(1-p^planes)^bands >= 0.9 at threshold;
     * buckets above ``hot_bucket_cap`` (typically piles of identical
@@ -185,7 +193,7 @@ def embedding_near_duplicates(
     dim = len(first[vec_col])
     if planes is None or bands is None:
         n = n_rows if n_rows is not None else df.count()
-        auto_planes, auto_bands = _lsh_params(n, threshold, target_bucket_rows)
+        auto_planes, auto_bands = _lsh_params(n, threshold, collisions_per_row)
         planes = planes or auto_planes
         bands = bands or auto_bands
     sigged = (
