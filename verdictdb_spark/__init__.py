@@ -42,10 +42,12 @@ from .sampling import (  # noqa: F401
     ScrambleMeta,
     append_scramble,
     approx_agg,
+    approx_join_agg,
     create_fastconverge_scramble,
     create_scramble,
     load_scramble,
     progressive_agg,
+    progressive_join_agg,
     write_scramble,
 )
 from .lineage import SketchCheckpoint  # noqa: F401

@@ -154,6 +154,31 @@ class VerdictContext:
             sdf, meta, aggs, group_by, transform=tf, early_stop=early_stop, **kwargs
         )
 
+    def approx_join(
+        self,
+        table1: str,
+        table2: str,
+        on: Sequence[tuple[str, str]],
+        aggs: Sequence[AggSpec],
+        group_by: Sequence[str] = (),
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        early_stop: bool = True,
+        **kwargs,
+    ) -> ProgressiveResult:
+        """Aggregates over a JOIN OF TWO SCRAMBLES — both original
+        table names are substituted with their registered scrambles and
+        the block plane is covered progressively (the reference's
+        ripple/hyper-table cubes, ``ola/HyperTableCube.java:69-106``).
+        ``on`` is a list of (table1_col, table2_col) equi-join pairs."""
+        from .sampling.join import approx_join_agg
+
+        s1, m1 = self.load_scramble_for(table1)
+        s2, m2 = self.load_scramble_for(table2)
+        return approx_join_agg(
+            s1, m1, s2, m2, on, aggs, group_by,
+            transform=transform, early_stop=early_stop, **kwargs,
+        )
+
     def approx_df(self, *args, **kwargs) -> DataFrame:
         """``approx`` with the estimates returned as a Spark DataFrame."""
         res = self.approx(*args, **kwargs)

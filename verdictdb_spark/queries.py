@@ -440,6 +440,9 @@ def ensure_scrambles(spark, sf_dir: str) -> None:
         "lineitem", li, method="hash", column="l_orderkey", nblocks=8
     )
     _ctx(spark, sf_dir, "es").create_scramble("lineitem", li, method="uniform", nblocks=40, seed=11)
+    jc = _ctx(spark, sf_dir, "join")
+    jc.create_scramble("lineitem", li, method="uniform", nblocks=8, seed=7)
+    jc.create_scramble("orders", _t(spark, sf_dir, "orders"), method="uniform", nblocks=4, seed=13)
 
 
 def scramble_progressive_exact(spark, sf_dir):
@@ -552,6 +555,47 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
   AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def join_two_scrambles(spark, sf_dir):
+    """Aggregate over a JOIN OF TWO SCRAMBLES (the reference's ripple /
+    hyper-table cube planning, ola/HyperTableCube.java:69-106): block
+    plane covered by L-shaped increments over the two written,
+    block-partitioned scrambles; full coverage == exact, so a SQL
+    oracle applies."""
+    _prep(spark)
+    from .sampling import AggSpec
+
+    ctx = _ctx(spark, sf_dir, "join")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=8, seed=7)
+    ctx.create_scramble("orders", o, method="uniform", nblocks=4, seed=13)
+    res = ctx.approx_join(
+        "lineitem", "orders", [("l_orderkey", "o_orderkey")],
+        [
+            AggSpec("sum", "l_quantity", "sum_qty"),
+            AggSpec("count", None, "cnt"),
+            AggSpec("avg", "l_extendedprice", "avg_px"),
+        ],
+        group_by=["o_orderpriority"],
+        early_stop=False,  # oracle mode: full block-plane coverage == exact
+    )
+    pdf = res.estimates[["o_orderpriority", "sum_qty", "cnt", "avg_px"]].copy()
+    pdf["sum_qty"] = pdf["sum_qty"].round().astype("int64")
+    pdf["cnt"] = pdf["cnt"].round().astype("int64")
+    pdf["avg_px"] = pdf["avg_px"].round(4)
+    return spark.createDataFrame(pdf).orderBy("o_orderpriority")
+
+
+JOIN_SCRAMBLES_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS cnt,
+       round(avg(l_extendedprice), 4) AS avg_px
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
@@ -863,6 +907,7 @@ def queries() -> dict[str, Query]:
         "scramble_progressive_exact": scramble_progressive_exact,
         "countdistinct_hash_scramble": countdistinct_hash_scramble,
         "q3_approx_priority": q3_approx_priority,
+        "join_two_scrambles": join_two_scrambles,
         "approx_sql_front_door": approx_sql_front_door,
         "approx_early_stop": approx_early_stop,
         "bloom_semi_join_count": bloom_semi_join_count,
@@ -895,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "scramble_progressive_exact": SCRAMBLE_SQL,
         "countdistinct_hash_scramble": CD_SCRAMBLE_SQL,
         "q3_approx_priority": Q3_APPROX_SQL,
+        "join_two_scrambles": JOIN_SCRAMBLES_SQL,
         "approx_sql_front_door": FRONT_DOOR_SQL,
         "bloom_semi_join_count": BLOOM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,

@@ -16,3 +16,8 @@ from .progressive import (  # noqa: F401
     converged,
     progressive_agg,
 )
+from .join import (  # noqa: F401
+    approx_join_agg,
+    is_aligned,
+    progressive_join_agg,
+)
