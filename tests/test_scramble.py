@@ -141,6 +141,7 @@ def test_write_load_roundtrip(tmp_path, lineitem, spark):
     assert df2.count() == 1000
     # block prefix scan prunes partitions (file-level)
     plan = df2.where(F.col("verdictdbblock") <= 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "verdictdbblock" in plan.split("PartitionFilters")[1]
     assert df2.where(F.col("verdictdbblock") <= 1).count() < 1000
 
 

@@ -73,3 +73,45 @@ def test_incremental_sketch_sink(spark, sf_dir, tmp_path):
     )
     assert np.allclose(est2.values, batch.values)
     assert (est2 >= est1.sort_index()).all()  # monotone under inserts
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap-closure within a batch,
+    event-time-timeout eviction once the watermark passes, open
+    sessions withheld (append mode)."""
+    import pandas as pd
+
+    from verdictdb_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "events_src")
+    chk = str(tmp_path / "chk")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, 1.0),
+        (2, "2024-01-01 10:10:00", 1, 2.0),
+        (3, "2024-01-01 11:30:00", 1, 4.0),  # 80-min gap -> new session
+        (4, "2024-01-01 10:05:00", 2, 8.0),
+        (5, "2024-01-02 00:00:00", 3, 0.5),  # watermark pusher; stays open
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    sess = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    q = (
+        sess.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").option("checkpointLocation", chk)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    out = (
+        spark.sql("select * from sess_out order by user_id, session_start")
+        .toPandas()
+    )
+    assert [tuple(r) for r in out[["user_id", "n_events"]].to_numpy()] == [
+        (1, 2), (1, 1), (2, 1)
+    ]
+    assert out["sum_value"].tolist() == [3.0, 4.0, 8.0]
+    assert str(out["session_end"].iloc[0]) == "2024-01-01 10:10:00"
+    # user 3's session is still open: not emitted in append mode
+    assert 3 not in set(out["user_id"])
