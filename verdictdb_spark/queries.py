@@ -600,6 +600,45 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def stratified_sample_lineitem(spark, sf_dir):
+    """Exact-size deterministic stratified sample: exactly
+    min(100, group_size) rows per l_returnflag — the size contract is
+    SQL-checkable (LEAST(100, COUNT(*))), so an exact oracle applies
+    even though the sampled rows themselves are hash-ordered."""
+    _prep(spark)
+    from .sampling import stratified_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = stratified_sample(li, 100, ["l_returnflag"])
+    return (
+        out.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+STRATIFIED_SQL = """
+SELECT l_returnflag, LEAST(100, COUNT(*)) AS n_sampled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def hll_overlap_langs(spark, sf_dir):
+    """HLL set algebra (train/test contamination estimator): distinct
+    text overlap between the 'en' slice and the whole corpus —
+    approximate, rows-only."""
+    _prep(spark)
+    from .operators.distinct import hll_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en")
+    out = hll_overlap(en, docs, "text", p=13)
+    return out.select(
+        *[F.round(c, 0).alias(c) for c in ["ndv_a", "ndv_b", "ndv_union", "ndv_intersection"]],
+        F.round("jaccard", 3).alias("jaccard"),
+    )
+
+
 def approx_sql_front_door(spark, sf_dir):
     """The reference's whole public API: ``VerdictContext.sql`` with
     AUTOMATIC scramble substitution (VerdictContext.java:386-391,
@@ -908,6 +947,8 @@ def queries() -> dict[str, Query]:
         "countdistinct_hash_scramble": countdistinct_hash_scramble,
         "q3_approx_priority": q3_approx_priority,
         "join_two_scrambles": join_two_scrambles,
+        "stratified_sample_lineitem": stratified_sample_lineitem,
+        "hll_overlap_langs": hll_overlap_langs,
         "approx_sql_front_door": approx_sql_front_door,
         "approx_early_stop": approx_early_stop,
         "bloom_semi_join_count": bloom_semi_join_count,
@@ -941,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "countdistinct_hash_scramble": CD_SCRAMBLE_SQL,
         "q3_approx_priority": Q3_APPROX_SQL,
         "join_two_scrambles": JOIN_SCRAMBLES_SQL,
+        "stratified_sample_lineitem": STRATIFIED_SQL,
         "approx_sql_front_door": FRONT_DOOR_SQL,
         "bloom_semi_join_count": BLOOM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,

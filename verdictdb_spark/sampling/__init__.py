@@ -21,3 +21,7 @@ from .join import (  # noqa: F401
     is_aligned,
     progressive_join_agg,
 )
+from .sample import (  # noqa: F401
+    reservoir_sample,
+    stratified_sample,
+)
