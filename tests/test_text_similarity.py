@@ -242,3 +242,32 @@ def test_multimodal_real_codecs(spark):
 
     with pytest.raises(NotImplementedError, match="external codec"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_ivf_index_and_probe(spark, emb):
+    from verdictdb_spark.operators.similarity import cosine_top_k, ivf_assign, ivf_top_k
+
+    q = emb.where("vec_id = 0").first()["embedding"]
+    indexed, cent = ivf_assign(emb, "embedding", n_centroids=16)
+    # assignment is a partition of the corpus: nothing lost
+    assert indexed.count() == emb.count()
+    exact = set(
+        cosine_top_k(emb, "embedding", q, k=10, id_col="vec_id")
+        .toPandas()["vec_id"]
+    )
+    # probing ALL clusters reproduces the exact result
+    full = set(
+        ivf_top_k(indexed, cent, "embedding", q, k=10, n_probes=16, id_col="vec_id")
+        .toPandas()["vec_id"]
+    )
+    assert full == exact
+    # recall is monotone in probes and reasonable at half probes
+    r = {}
+    for p in (2, 8, 16):
+        got = set(
+            ivf_top_k(indexed, cent, "embedding", q, k=10, n_probes=p, id_col="vec_id")
+            .toPandas()["vec_id"]
+        )
+        r[p] = len(got & exact) / len(exact)
+    assert r[2] <= r[8] + 1e-9 and r[8] <= r[16] + 1e-9
+    assert r[8] >= 0.3  # random vectors: the hard case; half probes keep signal

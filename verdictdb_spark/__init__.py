@@ -17,7 +17,7 @@ from .sketches.cms import CmsSketch  # noqa: F401
 from .sketches.kll import KllSketch  # noqa: F401
 from .sketches.tdigest import TDigestSketch  # noqa: F401
 from .sketches.bloom import BloomSketch  # noqa: F401
-from .operators.distinct import approx_count_distinct_by, hll_sketch_table  # noqa: F401
+from .operators.distinct import approx_count_distinct_by, hll_overlap, hll_sketch_table  # noqa: F401
 from .operators.frequency import approx_top_k, approx_frequency, cms_sketch_table  # noqa: F401
 from .operators.quantile import approx_quantiles, quantile_sketch_table  # noqa: F401
 from .operators.membership import build_bloom, bloom_contains_col, bloom_prefilter  # noqa: F401
@@ -35,6 +35,8 @@ from .operators.similarity import (  # noqa: F401
     cosine_top_k,
     dedup_embeddings,
     embedding_near_duplicates,
+    ivf_assign,
+    ivf_top_k,
 )
 from .operators.text import text_stats  # noqa: F401
 from .sampling import (  # noqa: F401
@@ -48,6 +50,8 @@ from .sampling import (  # noqa: F401
     load_scramble,
     progressive_agg,
     progressive_join_agg,
+    reservoir_sample,
+    stratified_sample,
     write_scramble,
 )
 from .lineage import SketchCheckpoint  # noqa: F401

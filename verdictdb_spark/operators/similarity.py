@@ -120,6 +120,78 @@ def ann_top_k(
     return cosine_top_k(pruned, vec_col, query, k, id_col)
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 256,
+    sample_rows: int = 8192,
+    kmeans_iters: int = 8,
+    seed: int = _PLANE_SEED,
+    cluster_col: str = "ivf_cluster",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF (inverted-file) index build: coarse k-means centroids from a
+    driver-side sample, then one matmul per Arrow batch assigns every
+    vector to its nearest centroid.
+
+    Returns (df + cluster column, centroid matrix (n_centroids, dim),
+    L2-normalized).  At scale, WRITE the table partitioned by the
+    cluster column: queries then probe a handful of clusters as
+    partition-pruned scans (the standard IVF-flat layout, expressed as
+    Spark partitioning).  Centroid training is a bounded driver-side
+    sample — the cluster-scale path would swap in ML-lib k-means
+    without changing the assignment or probe stages.
+    """
+    samp = np.vstack(
+        df.select(vec_col).limit(int(sample_rows)).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    norms = np.linalg.norm(samp, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    samp = samp / norms
+    k = min(n_centroids, len(samp))
+    rng = np.random.default_rng(seed)
+    cent = samp[rng.choice(len(samp), size=k, replace=False)]
+    for _ in range(kmeans_iters):
+        # spherical k-means: assign by max cosine, recenter, renormalize
+        assign = np.argmax(samp @ cent.T, axis=1)
+        for c in range(k):
+            members = samp[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    C = cent.astype(np.float32)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        m = np.vstack(vs.to_numpy()).astype(np.float32)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((m / n) @ C.T, axis=1).astype(np.int32))
+
+    return df.withColumn(cluster_col, _assign(F.col(vec_col))), cent
+
+
+def ivf_top_k(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_probes: int = 8,
+    id_col: str | None = None,
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """IVF probe: exact cosine top-k over only the ``n_probes``
+    clusters nearest the query — a cluster-column filter, so on a
+    table written partitioned by cluster it is a partition-pruned scan
+    followed by TakeOrderedAndProject."""
+    q = _normalize(np.asarray(query, dtype=np.float64))
+    order = np.argsort(-(centroids @ q))[: int(n_probes)]
+    probed = indexed.where(F.col(cluster_col).isin([int(c) for c in order]))
+    return cosine_top_k(probed.drop(cluster_col), vec_col, query, k, id_col)
+
+
 def band_signatures(vec_col: str, dim: int, bands: int, planes: int, seed: int = _PLANE_SEED):
     """Column: array<long> of per-band hyperplane bucket keys.
 

@@ -904,6 +904,37 @@ FROM embeddings ORDER BY id_a, id_b
 """
 
 
+def ivf_topk_embeddings(spark, sf_dir):
+    """IVF-flat ANN: coarse spherical-k-means index, probe nearest
+    clusters, exact cosine within.  Registered at FULL probe depth so
+    the index must reproduce the exact top-k (assignment partitions
+    the corpus losslessly) — exact SQL oracle; fewer probes trade
+    recall for scan fraction (pytest pins the recall curve)."""
+    _prep(spark)
+    from .operators.similarity import ivf_assign, ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    indexed, cent = ivf_assign(emb, "embedding", n_centroids=16)
+    out = ivf_top_k(indexed, cent, "embedding", q, k=10, n_probes=16, id_col="vec_id")
+    return out.select("vec_id", F.round("cosine", 6).alias("cos_r")).orderBy(
+        F.desc("cos_r"), "vec_id"
+    )
+
+
+IVF_TOPK_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+         AS cos_r
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+         vec_id
+LIMIT 10
+"""
+
+
 def winnowing_documents(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (rows-only — stateful UDF)."""
     _prep(spark)
@@ -958,6 +989,7 @@ def queries() -> dict[str, Query]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "text_stats_documents": text_stats_documents,
         "similarity_topk_embeddings": similarity_topk_embeddings,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
         "embedding_exact_dup_pairs": embedding_exact_dup_pairs,
         "winnowing_documents": winnowing_documents,
         "multimodal_decode": multimodal_decode,
@@ -988,5 +1020,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "text_stats_documents": _text_stats_oracle(),
         "similarity_topk_embeddings": SIM_TOPK_SQL,
+        "ivf_topk_embeddings": IVF_TOPK_SQL,
         "embedding_exact_dup_pairs": EMB_DUP_SQL,
     }
