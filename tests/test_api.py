@@ -253,3 +253,34 @@ def test_error_bars_all_aggregates_present(lineitem):
     for col in ["s_err", "c_err", "a_err", "mn_err", "mx_err"]:
         assert col in part.estimates.columns
         assert np.isfinite(part.estimates[col].iloc[0])
+
+
+def test_sql_falls_back_when_scramble_cannot_answer(spark, tmp_path, lineitem):
+    """COUNT(DISTINCT) on a table whose registered scramble is uniform
+    must pass through to exact spark.sql, not raise (the reference
+    passes non-rewritable queries through)."""
+    c = VerdictContext(spark, str(tmp_path))
+    c.create_scramble("li_sqlfb", lineitem, method="uniform", nblocks=4, seed=1)
+    lineitem.createOrReplaceTempView("li_sqlfb")
+    out = c.sql("SELECT count(DISTINCT l_orderkey) AS n FROM li_sqlfb").first()["n"]
+    exact = lineitem.select(F.countDistinct("l_orderkey")).first()[0]
+    assert out == exact
+
+
+def test_create_scramble_kwargs_distinct_artifacts(spark, tmp_path, lineitem):
+    """fastconverge variants differing only in kwargs must not collide
+    to one cached scramble path."""
+    c = VerdictContext(spark, str(tmp_path))
+    import os
+
+    c.create_scramble(
+        "li_kw", lineitem.limit(2000), method="fastconverge", column="l_extendedprice",
+        nblocks=4, group_column="l_returnflag",
+    )
+    c.create_scramble(
+        "li_kw", lineitem.limit(2000), method="fastconverge", column="l_extendedprice",
+        nblocks=4,
+    )
+    # different kwargs -> different persisted artifacts (no collision)
+    dirs = [d for d in os.listdir(str(tmp_path)) if d.startswith("scramble_li_kw_")]
+    assert len(dirs) == 2

@@ -197,3 +197,17 @@ def test_join_with_transform_dim(spark, sf_dir, tables):
         .agg(F.sum("l_quantity")).first()[0]
     )
     assert res.estimates["sq"].iloc[0] == pytest.approx(exact)
+
+
+def test_aligned_requires_same_join_pair(spark, tables):
+    """Hash columns on DIFFERENT join pairs hash different values —
+    blocks would not match, so the join must NOT be treated aligned."""
+    li, o = tables
+    _, m1 = create_scramble(li, method="hash", column="l_orderkey", nblocks=5, seed=21)
+    _, m2 = create_scramble(o, method="hash", column="o_custkey", nblocks=5, seed=21)
+    on = [("l_orderkey", "o_orderkey"), ("l_suppkey", "o_custkey")]
+    # l_orderkey pairs with o_orderkey (not o_custkey): not aligned
+    assert not is_aligned(m1, m2, on)
+    # and the true pair IS aligned
+    _, m3 = create_scramble(o, method="hash", column="o_orderkey", nblocks=5, seed=21)
+    assert is_aligned(m1, m3, [("l_orderkey", "o_orderkey")])

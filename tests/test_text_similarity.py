@@ -271,3 +271,10 @@ def test_ivf_index_and_probe(spark, emb):
         r[p] = len(got & exact) / len(exact)
     assert r[2] <= r[8] + 1e-9 and r[8] <= r[16] + 1e-9
     assert r[8] >= 0.3  # random vectors: the hard case; half probes keep signal
+
+
+def test_lsh_bands_cap_warns():
+    from verdictdb_spark.operators.similarity import _lsh_params
+
+    with pytest.warns(RuntimeWarning, match="bands capped"):
+        _lsh_params(10**9, 0.9)

@@ -98,8 +98,9 @@ class VerdictContext:
         """CREATE SCRAMBLE analogue: build, persist block-partitioned,
         register.  Deterministic path per (table, params) so re-running
         the DDL is idempotent."""
+        extra = "|".join(f"{k}={kwargs[k]}" for k in sorted(kwargs))
         key = hashlib.sha256(
-            f"{source_table}|{method}|{column}|{nblocks}|{size}|{seed}".encode()
+            f"{source_table}|{method}|{column}|{nblocks}|{size}|{seed}|{extra}".encode()
         ).hexdigest()[:16]
         path = os.path.join(self.root, f"scramble_{source_table}_{key}")
         if not os.path.exists(os.path.join(path, "_verdictdb_meta.json")):
@@ -197,7 +198,14 @@ class VerdictContext:
         table, aggs, group_by, where = parsed
         if self.metastore.lookup(table, kind="scramble") is None:
             return self.spark.sql(query)
-        res = self.approx(table, aggs, group_by, where, early_stop=early_stop)
+        try:
+            res = self.approx(table, aggs, group_by, where, early_stop=early_stop)
+        except ValueError:
+            # the registered scramble can't legally answer this shape
+            # (e.g. COUNT DISTINCT on a uniform scramble) — the contract
+            # is pass-through, not error (SelectQueryCoordinator behaves
+            # the same for non-rewritable queries)
+            return self.spark.sql(query)
         pdf = res.estimates
         # SQL surface returns the requested columns only (no _err cols)
         cols = list(group_by) + [a.alias for a in aggs]

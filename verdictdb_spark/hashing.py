@@ -108,3 +108,14 @@ def clz64(w: np.ndarray) -> np.ndarray:
         n = np.where(big, n + s, n)
         x = np.where(big, x >> su, x)
     return np.where(w == 0, 64, 63 - n)
+
+
+def null_safe_group_key(*cols: str | Column) -> Column:
+    """Deterministic string key over group columns where NULL is a real
+    key value (plain equi-joins drop NULL keys; groupBy keeps them).
+    Used wherever grouped results from two plans must be joined back
+    together (stratified sampling, sketch-pair set algebra)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.concat_ws(
+        "\x1f", *[F.coalesce(c.cast("string"), F.lit("\x00null")) for c in cs]
+    )

@@ -81,11 +81,12 @@ def hll_overlap(
     on = gcols if gcols else [GROUP_ALL]
     # null-safe group join: a NULL-keyed group on both sides is the
     # same stratum (plain equi-join would keep them as separate rows)
-    gk = lambda d: F.concat_ws(  # noqa: E731
-        "\x1f", *[F.coalesce(d[c].cast("string"), F.lit("\x00null")) for c in on]
+    from ..hashing import null_safe_group_key
+
+    sa = sa.withColumn("_gk", null_safe_group_key(*[sa[c] for c in on]))
+    sb = sb.withColumn("_gk", null_safe_group_key(*[sb[c] for c in on])).withColumnsRenamed(
+        {c: f"_b_{c}" for c in on}
     )
-    sa = sa.withColumn("_gk", gk(sa))
-    sb = sb.withColumn("_gk", gk(sb)).withColumnsRenamed({c: f"_b_{c}" for c in on})
     joined = sa.join(sb, "_gk", "full_outer").select(
         *[F.coalesce(sa[c], sb[f"_b_{c}"]).alias(c) for c in on], "_sta", "_stb"
     )

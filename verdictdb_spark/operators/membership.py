@@ -30,23 +30,34 @@ def build_bloom(
 
     Returns (sketch, state_bytes); the state is small enough to
     broadcast.  When ``capacity`` is unknown, the build side is hashed
-    ONCE (compact longs, localCheckpointed); both the NDV sizing pass
-    and the filter build read the cached hashes — the source table is
-    scanned a single time.
+    ONCE into a spill-to-disk cache (compact 8-byte longs); both the
+    NDV sizing pass and the filter build read the cached hashes, and
+    the cache is released after the build.  At extreme build-side
+    cardinality (where even 8 bytes/row of disk cache is unwelcome)
+    pass ``capacity`` explicitly — sizing then costs nothing and the
+    source is scanned once with no cache at all.
     """
     if capacity is None:
+        from pyspark import StorageLevel
+
         c = F.col(col) if isinstance(col, str) else col
         hashes = (
-            df.where(c.isNotNull()).select(F.xxhash64(c).alias("_h")).localCheckpoint()
+            df.where(c.isNotNull())
+            .select(F.xxhash64(c).alias("_h"))
+            .persist(StorageLevel.DISK_ONLY)
         )
-        ndv = hashes.select(F.approx_count_distinct("_h", 0.05).alias("n")).first()["n"]
-        capacity = max(int(ndv * 1.3), 1024)
-        sk = BloomSketch(capacity=capacity, fpr=fpr)
-        merged = sketch_agg(hashes, sk, "_h", group_by=(), input_kind="prehashed")
+        try:
+            ndv = hashes.select(F.approx_count_distinct("_h", 0.05).alias("n")).first()["n"]
+            capacity = max(int(ndv * 1.3), 1024)
+            sk = BloomSketch(capacity=capacity, fpr=fpr)
+            merged = sketch_agg(hashes, sk, "_h", group_by=(), input_kind="prehashed")
+            row = merged.select("state").first()
+        finally:
+            hashes.unpersist()
     else:
         sk = BloomSketch(capacity=capacity, fpr=fpr)
         merged = sketch_agg(df, sk, col, group_by=(), input_kind="hash")
-    row = merged.select("state").first()
+        row = merged.select("state").first()
     if row is None:  # empty build side -> empty filter (matches nothing)
         return sk, sk.to_bytes(sk.empty())
     return sk, bytes(row["state"])

@@ -225,10 +225,31 @@ def _lsh_params(n: int, threshold: float, collisions_per_row: float = 1.0) -> tu
     scale bug: a bucket of 1024 random vectors already emits ~500k
     all-pairs candidates; bucket size must be O(1), not O(1024)."""
     planes = int(np.clip(np.ceil(np.log2(max(n, 4) / (2.0 * collisions_per_row))), 8, 40))
+    bands = _bands_for(planes, threshold)
+    return planes, bands
+
+
+def _bands_for(planes: int, threshold: float, target_recall: float = 0.9) -> int:
+    """Bands needed for ``target_recall`` at ``threshold`` given a band
+    key of ``planes`` bits, capped at 32 for bounded cost — warns when
+    the cap actually costs recall (loose thresholds at extreme scale)."""
     theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
     p_band = (1.0 - theta / np.pi) ** planes
-    bands = int(np.clip(np.ceil(np.log(0.1) / np.log(max(1.0 - p_band, 1e-12))), 1, 32))
-    return planes, bands
+    need = int(np.ceil(np.log(1 - target_recall) / np.log(max(1.0 - p_band, 1e-12))))
+    bands = int(np.clip(need, 1, 32))
+    if need > 32:
+        import warnings
+
+        recall = 1 - (1 - p_band) ** bands
+        warnings.warn(
+            f"LSH bands capped at 32 (needed {need} for {target_recall:.0%} recall "
+            f"at threshold {threshold}): expected recall ~{recall:.0%}. Raise "
+            "`bands` explicitly, raise the threshold, or run twice with "
+            "different seeds and union.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return bands
 
 
 def embedding_near_duplicates(
@@ -263,11 +284,14 @@ def embedding_near_duplicates(
 
     first = df.select(vec_col).first()
     dim = len(first[vec_col])
-    if planes is None or bands is None:
+    if planes is None and bands is None:
         n = n_rows if n_rows is not None else df.count()
-        auto_planes, auto_bands = _lsh_params(n, threshold, collisions_per_row)
-        planes = planes or auto_planes
-        bands = bands or auto_bands
+        planes, bands = _lsh_params(n, threshold, collisions_per_row)
+    elif planes is None:  # bands given: size planes from the corpus
+        n = n_rows if n_rows is not None else df.count()
+        planes, _ = _lsh_params(n, threshold, collisions_per_row)
+    elif bands is None:  # planes given: bands must match THAT geometry
+        bands = _bands_for(planes, threshold)
     sigged = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_sig", band_signatures("_v", dim, bands, planes, seed))

@@ -422,12 +422,24 @@ def _ctx(spark, sf_dir: str, sub: str = "main"):
     artifacts (the reference's CREATE SCRAMBLE is an offline step) —
     built once, persisted block-partitioned, reloaded thereafter so
     progressive queries get file-level partition pruning."""
+    import os as _os
     import re as _re
 
     from .api import VerdictContext
 
     tag = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.rstrip("/"))
-    return VerdictContext(spark, f"/tmp/verdictdb_ctx/{tag}/{sub}")
+    # stale-cache guard: key the cache on the source data's identity so
+    # regenerated testdata never reuses scrambles built from old rows
+    try:
+        li = f"{sf_dir}/lineitem.parquet"
+        if _os.path.isdir(li):
+            size = sum(f.stat().st_size for f in _os.scandir(li) if f.is_file())
+        else:
+            size = _os.path.getsize(li)
+        stamp = f"{int(_os.path.getmtime(li))}_{size}"
+    except OSError:
+        stamp = "nosrc"
+    return VerdictContext(spark, f"/tmp/verdictdb_ctx/{tag}_{stamp}/{sub}")
 
 
 def ensure_scrambles(spark, sf_dir: str) -> None:

@@ -88,15 +88,17 @@ class _JoinMeta:
 
 def is_aligned(meta1: ScrambleMeta, meta2: ScrambleMeta, on: Sequence[tuple[str, str]]) -> bool:
     """True iff both scrambles hash-partition the join key identically:
-    same method=hash, same seed, same block count, and each side's
-    hash column IS its join key.  Then matching rows share a block."""
+    same method=hash, same seed, same block count, and the two hash
+    columns are the two sides of the SAME equi-join pair (hash columns
+    on different pairs hash different values — blocks would not match).
+    Then every matching row pair shares a block."""
     if meta1.method != "hash" or meta2.method != "hash":
         return False
     if meta1.seed != meta2.seed or meta1.nblocks != meta2.nblocks:
         return False
-    keys1 = {a for a, _ in on}
-    keys2 = {b for _, b in on}
-    return meta1.hash_column in keys1 and meta2.hash_column in keys2
+    return any(
+        meta1.hash_column == lc and meta2.hash_column == rc for lc, rc in on
+    )
 
 
 def _validate_join(

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..hashing import unit_hash_col
+from ..hashing import null_safe_group_key, unit_hash_col
 
 
 def stratified_sample(
@@ -54,10 +54,7 @@ def stratified_sample(
 
     # null-safe synthetic group key: equi-joins drop NULL keys (null !=
     # null), but a null-keyed stratum is still a stratum
-    gk = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in gcols]
-    )
-    hashed = hashed.withColumn("_gk", gk)
+    hashed = hashed.withColumn("_gk", null_safe_group_key(*gcols))
     part = Window.partitionBy("_gk").orderBy("_u")
 
     def topn(src: DataFrame) -> DataFrame:

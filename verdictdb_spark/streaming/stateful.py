@@ -25,15 +25,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
-    ]
-)
+def session_schema(key_field: T.StructField) -> T.StructType:
+    """Output schema: the key column keeps the INPUT's name and type."""
+    return T.StructType(
+        [
+            key_field,
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+
+
+# fixed default kept for callers that reference it directly
+SESSION_SCHEMA = session_schema(T.StructField("user_id", T.LongType()))
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -64,11 +70,13 @@ def sessionize_stream(
     fires (watermark passed last_event + gap) — so idle users' state is
     evicted, keeping the store proportional to ACTIVE sessions.
 
-    Works on a streaming OR batch DataFrame (Spark runs
-    applyInPandasWithState in batch mode with all data in one group
-    pass, timeouts disabled — handy for tests and backfills).
+    Streaming DataFrames only (Spark rejects applyInPandasWithState in
+    batch queries); for batch/backfill sessionization use the window
+    sessionizer (``queries.sessionize_events``'s lag+gap pattern).
     """
     gap_ms = gap_minutes * 60_000
+    out_schema = session_schema(events.schema[user_col])
+    key_name = user_col
 
     def fn(
         key: Tuple[int],
@@ -103,7 +111,7 @@ def sessionize_stream(
         if closed:
             out = pd.DataFrame(
                 closed,
-                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+                columns=[key_name, "session_start", "session_end", "n_events", "sum_value"],
             )
             out["session_start"] = pd.to_datetime(out["session_start"], unit="ms")
             out["session_end"] = pd.to_datetime(out["session_end"], unit="ms")
@@ -118,7 +126,7 @@ def sessionize_stream(
         stream = stream.withWatermark(ts_col, watermark)
     return stream.groupBy(user_col).applyInPandasWithState(
         fn,
-        outputStructType=SESSION_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
