@@ -377,6 +377,27 @@ FROM documents GROUP BY lang ORDER BY est_count DESC, value LIMIT 3
 """
 
 
+def tdigest_quantiles_orders(spark, sf_dir):
+    """t-digest quantiles (tail-accurate arcsine compression) of order
+    totals per status — approximate (interpolating sketch), rows-only."""
+    _prep(spark)
+    from .operators.quantile import approx_quantiles_wide
+
+    o = _t(spark, sf_dir, "orders")
+    out = approx_quantiles_wide(
+        o,
+        "o_totalprice",
+        [0.5, 0.99],
+        group_by=["o_orderstatus"],
+        names=["p50", "p99"],
+        method="tdigest",
+        compression=500.0,
+    )
+    return out.select(
+        "o_orderstatus", F.round("p50", 0).alias("p50"), F.round("p99", 0).alias("p99")
+    ).orderBy("o_orderstatus")
+
+
 def approx_quantiles_lineitem(spark, sf_dir):
     """KLL quantiles, flattened to one scalar column per probability.
 
@@ -986,6 +1007,7 @@ def queries() -> dict[str, Query]:
         "approx_ndv_documents": approx_ndv_documents,
         "approx_topk_lang": approx_topk_lang,
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
+        "tdigest_quantiles_orders": tdigest_quantiles_orders,
         "scramble_progressive_exact": scramble_progressive_exact,
         "countdistinct_hash_scramble": countdistinct_hash_scramble,
         "q3_approx_priority": q3_approx_priority,
