@@ -284,3 +284,20 @@ def test_create_scramble_kwargs_distinct_artifacts(spark, tmp_path, lineitem):
     # different kwargs -> different persisted artifacts (no collision)
     dirs = [d for d in os.listdir(str(tmp_path)) if d.startswith("scramble_li_kw_")]
     assert len(dirs) == 2
+
+
+def test_avg_ignores_nulls_like_sql(spark, tmp_path, lineitem):
+    """SQL AVG divides by count(col), not count(*): a scramble over a
+    table with NULLs in the averaged column must still be exact at
+    full coverage."""
+    from verdictdb_spark.sampling import create_scramble, progressive_agg
+
+    withnulls = lineitem.limit(4000).withColumn(
+        "px", F.when(F.col("l_orderkey") % 2 == 0, F.col("l_extendedprice"))
+    )
+    sdf, meta = create_scramble(withnulls, method="uniform", nblocks=4, seed=5)
+    final = None
+    for r in progressive_agg(sdf, meta, [AggSpec("avg", "px", "a")], []):
+        final = r
+    exact = withnulls.agg(F.avg("px")).first()[0]
+    assert final.estimates["a"].iloc[0] == pytest.approx(float(exact), rel=1e-9)

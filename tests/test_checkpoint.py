@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from verdictdb_spark.lineage import SketchCheckpoint
@@ -70,3 +71,39 @@ def test_checkpoint_global_group(spark, files_df, tmp_path):
     est = finalize(merged, sk, "ndv", "double").first()["ndv"]
     exact = files_df.select(F.countDistinct("content")).first()[0]
     assert abs(est - exact) / exact < 4 * sk.error_bound()
+
+
+def test_checkpoint_refuses_changed_config(spark, files_df, tmp_path):
+    from verdictdb_spark.lineage.checkpoint import SketchCheckpoint
+    from verdictdb_spark.sketches.hll import HllSketch
+
+    path = str(tmp_path / "cfg_ck")
+    ck = SketchCheckpoint(path, HllSketch(p=8), "content", ["lang"], nblocks=8)
+    ck.run(files_df.limit(2000))
+    # changed nblocks moves rows between blocks -> must refuse
+    with pytest.raises(ValueError, match="different parameters"):
+        SketchCheckpoint(path, HllSketch(p=8), "content", ["lang"], nblocks=16)
+    # identical config resumes fine
+    _, missing = SketchCheckpoint(path, HllSketch(p=8), "content", ["lang"], nblocks=8).run(
+        files_df.limit(2000)
+    )
+    assert missing == []
+
+
+def test_checkpoint_all_null_value_column(spark, tmp_path):
+    """Every block complete-and-empty is a valid empty result, not a
+    poisoned checkpoint."""
+    from verdictdb_spark.lineage.checkpoint import SketchCheckpoint
+    from verdictdb_spark.sketches.hll import HllSketch
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit(None).cast("string").alias("v"), F.lit("g").alias("g")
+    )
+    path = str(tmp_path / "null_ck")
+    ck = SketchCheckpoint(path, HllSketch(p=8), "v", ["g"], nblocks=4)
+    merged, missing = ck.run(df)
+    assert len(missing) == 4
+    assert merged.count() == 0
+    # resume is also clean (not ValueError forever)
+    merged2, missing2 = SketchCheckpoint(path, HllSketch(p=8), "v", ["g"], nblocks=4).run(df)
+    assert missing2 == [] and merged2.count() == 0

@@ -90,12 +90,14 @@ def test_kll_rank_error_generative(values, q):
     state = sk.build(x)
     est = sk.quantiles(state, [q])[0]
     xs = np.sort(x)
-    # rank of the estimate within eps*n of target rank (KLL ~3.3/k)
-    lo = np.searchsorted(xs, est, side="left")
-    hi = np.searchsorted(xs, est, side="right")
-    target = q * (len(xs) - 1)
-    eps_n = max(3.3 / 256 * len(xs) * 3, 1.0)  # 3x slack on published bound
-    assert lo - eps_n <= target <= hi + eps_n
+    # the sketch interpolates (midpoint convention), so the rank-error
+    # statement is: est lies between the order statistics at rank
+    # q*n -+ eps*n (KLL eps ~3.3/k, 3x slack; +-1 for the midpoint step)
+    target = q * len(xs)
+    eps_n = max(3.3 / 256 * len(xs) * 3, 1.0)
+    lo_idx = int(np.clip(np.floor(target - eps_n), 0, len(xs) - 1))
+    hi_idx = int(np.clip(np.ceil(target + eps_n), 0, len(xs) - 1))
+    assert xs[lo_idx] <= est <= xs[hi_idx], (est, xs[lo_idx], xs[hi_idx])
 
 
 @given(ints)

@@ -67,10 +67,22 @@ def factorize_keys(pdf: pd.DataFrame, gcols: list[str]) -> tuple[np.ndarray, pd.
     if not gcols:
         return np.zeros(len(pdf), dtype=np.int64), pd.DataFrame({GROUP_ALL: [0]})
     combined = None
+    radix_ok = True
+    cap = 1
     for g in gcols:
         c, _ = pd.factorize(pdf[g], use_na_sentinel=False)
-        combined = c if combined is None else combined * (int(c.max()) + 1) + c
-    codes, _ = pd.factorize(combined)
+        width = int(c.max()) + 1
+        cap *= width
+        if cap > 2**62:  # mixed-radix would overflow int64 and collide keys
+            radix_ok = False
+            break
+        combined = c if combined is None else combined * width + c
+    if not radix_ok:
+        # rare path (many high-cardinality group cols in one batch):
+        # exact multi-column factorize, slower but collision-free
+        codes = pd.MultiIndex.from_frame(pdf[gcols]).factorize(use_na_sentinel=False)[0]
+    else:
+        codes, _ = pd.factorize(combined)
     # representative row per unique code (first occurrence)
     rep = np.empty(int(codes.max()) + 1, dtype=np.int64)
     rep[codes[::-1]] = np.arange(len(codes))[::-1]

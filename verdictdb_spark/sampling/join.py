@@ -264,5 +264,9 @@ def approx_join_agg(
         ):
             return res
         prev = res
-    assert prev is not None, "no blocks produced results"
+    if prev is None:
+        raise ValueError(
+            "no block pairs produced rows (empty scrambles or an "
+            "everything-filtering transform) — nothing to estimate"
+        )
     return prev

@@ -84,7 +84,8 @@ def _partial_exprs(aggs: Sequence[AggSpec]) -> list:
         if a.op == "count" and a.col is not None:
             add(f"pcnt_{a.col}", F.count(a.col))
         if a.op == "avg":
-            add("pcnt_star", F.count(F.lit(1)))
+            # SQL AVG ignores NULLs: denominator is count(col), NOT count(*)
+            add(f"pcnt_{a.col}", F.count(a.col))
         if a.op == "min":
             add(f"pmin_{a.col}", F.min(a.col))
         if a.op == "max":
@@ -161,7 +162,7 @@ def _estimate(
         elif a.op == "count":
             out[a.alias] = final["pcnt_star" if a.col is None else f"pcnt_{a.col}"]
         elif a.op == "avg":
-            out[a.alias] = final[f"psum_{a.col}"] / final["pcnt_star"]
+            out[a.alias] = final[f"psum_{a.col}"] / final[f"pcnt_{a.col}"]
         elif a.op == "min":
             out[a.alias] = final[f"pmin_{a.col}"]
         elif a.op == "max":
@@ -252,7 +253,7 @@ def _attach_errors(
             put(a.alias, err_from(per, "_v"))
         elif a.op == "avg":
             num = per_block_scaled(f"psum_{a.col}").rename(columns={"_v": "_num"})
-            den = per_block_scaled("pcnt_star").rename(columns={"_v": "_den"})
+            den = per_block_scaled(f"pcnt_{a.col}").rename(columns={"_v": "_den"})
             per = num.merge(den, on=group_by + [BLOCK_COL])
             # blocks with no rows of the group carry no ratio information
             per = per[per["_den"] > 0].copy()
@@ -382,5 +383,9 @@ def approx_agg(
         ):
             return res
         prev = res
-    assert prev is not None, "no blocks produced results"
+    if prev is None:
+        raise ValueError(
+            "no blocks produced rows (empty scramble, or transform/where "
+            "filtered out everything) — nothing to estimate"
+        )
     return prev

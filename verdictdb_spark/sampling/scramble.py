@@ -93,6 +93,26 @@ class ScrambleMeta:
         )
 
 
+def _unit_expr(columns, seed: int):
+    """Deterministic uniform [0,1) from a row hash — the ONE definition
+    shared by create/append so old and new rows always agree."""
+    h = F.xxhash64(*[F.col(c) for c in columns], F.lit(seed))
+    return (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+
+
+def _block_expr(method: str, columns, seed: int, m: int, hash_column: str | None = None):
+    """Row -> block id in [0, m): the single block-assignment definition
+    used by create_scramble AND append_scramble (drift between the two
+    would silently break the append statistical contract)."""
+    if method == "uniform":
+        h = F.xxhash64(*[F.col(c) for c in columns], F.lit(seed))
+        return F.pmod(h, F.lit(m)).cast("int")
+    if method == "hash":
+        unit = _unit_expr([hash_column], seed)
+        return F.least(F.floor(unit * m).cast("int"), F.lit(m - 1))
+    raise ValueError(f"no block expression for method {method!r}")
+
+
 def recommended_block_count(n_rows: int, block_size: int = DEFAULT_BLOCK_SIZE) -> int:
     """clamp(ceil(rows/block_size), 1, 100) — reference policy."""
     return max(1, min((n_rows + block_size - 1) // block_size, MAX_BLOCK_COUNT))
@@ -142,17 +162,14 @@ def create_scramble(
     m = int(np.ceil(n / size)) if size < 1.0 else n
     cdf = {0: [(k + 1) / m for k in range(n)]}
     if method == "uniform":
-        h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-        block = F.pmod(h, F.lit(m)).cast("int")
+        block = _block_expr("uniform", df.columns, seed, m)
         meta = ScrambleMeta(
             method="uniform", nblocks=n, seed=seed, original_count=cnt, cdf=cdf
         )
     elif method == "hash":
         if not column:
             raise ValueError("hash scramble requires a column")
-        h = F.xxhash64(F.col(column), F.lit(seed))
-        unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
-        block = F.least(F.floor(unit * m).cast("int"), F.lit(m - 1))
+        block = _block_expr("hash", df.columns, seed, m, hash_column=column)
         meta = ScrambleMeta(
             method="hash", nblocks=n, hash_column=column, seed=seed,
             original_count=cnt, cdf=cdf,
@@ -268,9 +285,12 @@ def create_fastconverge_scramble(
             .select(group_column)
         )
         in_small = F.col("_lg").isNull()
+        # null-safe join: a large NULL group is still a large group
+        # (plain equi-join never matches NULL keys -> tier-1 flooding)
+        lg = large.withColumnRenamed(group_column, "_lgk").withColumn("_lg", F.lit(1))
         work = df.join(
-            F.broadcast(large.withColumn("_lg", F.lit(1))), group_column, "left"
-        )
+            F.broadcast(lg), df[group_column].eqNullSafe(lg["_lgk"]), "left"
+        ).drop("_lgk")
     else:
         in_small = F.lit(False)
         work = df
@@ -280,8 +300,7 @@ def create_fastconverge_scramble(
     sizes = {r[TIER_COL]: r["count"] for r in tiered.groupBy(TIER_COL).count().collect()}
     n0, n1, n2 = (int(sizes.get(t, 0)) for t in (0, 1, 2))
     cdf = _pack_tier_cdfs(n0, n1, n2, n)
-    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-    unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    unit = _unit_expr(df.columns, seed)
     block = (
         F.when(F.col(TIER_COL) == 0, _block_from_cdf(unit, cdf[0], n))
         .when(F.col(TIER_COL) == 1, _block_from_cdf(unit, cdf[1], n))
@@ -308,15 +327,11 @@ def append_scramble(
     # virtual block universe m (> nblocks for partial-size scrambles)
     # is recoverable from the stored CDF: P(block 0) = 1/m
     m = int(round(1.0 / meta.cdf[0][0]))
-    if meta.method == "uniform":
-        h = F.xxhash64(*[F.col(c) for c in new_rows.columns], F.lit(meta.seed))
-        block = F.pmod(h, F.lit(m)).cast("int")
-    elif meta.method == "hash":
-        h = F.xxhash64(F.col(meta.hash_column), F.lit(meta.seed))
-        unit = (h.cast("double") / F.lit(float(2**64))) + F.lit(0.5)
-        block = F.least(F.floor(unit * m).cast("int"), F.lit(m - 1))
-    else:
+    if meta.method not in ("uniform", "hash"):
         raise ValueError(f"append not supported for method {meta.method!r}")
+    block = _block_expr(
+        meta.method, new_rows.columns, meta.seed, m, hash_column=meta.hash_column
+    )
     out = new_rows.withColumn(TIER_COL, F.lit(0)).withColumn(BLOCK_COL, block)
     if m > meta.nblocks:
         out = out.where(F.col(BLOCK_COL) < meta.nblocks)
