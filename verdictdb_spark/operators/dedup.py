@@ -35,11 +35,20 @@ from pyspark.sql.window import Window
 # --------------------------------------------------------------- exact
 def fingerprint_col(*cols: str | Column, normalize: bool = False) -> Column:
     """sha256 fingerprint of one or more columns (optionally
-    whitespace/case-normalized for text)."""
+    whitespace/case-normalized for text).
+
+    Collision-safe composition: each column is hashed to a FIXED-WIDTH
+    digest first, then the digests concatenate — so neither NULLs
+    (concat_ws silently skips them) nor separator bytes inside values
+    can make two distinct key tuples collide.
+    """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     if normalize:
         cs = [F.regexp_replace(F.lower(F.trim(c.cast("string"))), r"\s+", " ") for c in cs]
-    return F.sha2(F.concat_ws("\x1f", *[c.cast("string") for c in cs]), 256)
+    digests = [F.coalesce(F.sha2(c.cast("string"), 256), F.lit("#null")) for c in cs]
+    if len(digests) == 1:
+        return digests[0]
+    return F.sha2(F.concat(*digests), 256)
 
 
 def dedup_exact(
@@ -56,7 +65,12 @@ def dedup_exact(
     if isinstance(key, (str, Column)):
         key = [key]
     fp = fingerprint_col(*key, normalize=normalize)
-    order = F.col(order_by) if isinstance(order_by, str) else (order_by if order_by is not None else F.lit(1))
+    if order_by is None:
+        # deterministic default: full-row hash (identical full rows tie,
+        # but they're identical) — shuffle order must never pick the row
+        order = F.xxhash64(*[F.col(c) for c in df.columns])
+    else:
+        order = F.col(order_by) if isinstance(order_by, str) else order_by
     w = Window.partitionBy(fp).orderBy(order)
     return (
         df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
@@ -384,6 +398,12 @@ def simhash_near_duplicates(
     max_hamming <= chunks-1 must agree on >= one chunk exactly.
     Buckets above ``hot_bucket_cap`` link to their min-id
     representative instead of all-pairs (see ``_bucket_pairs``)."""
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming <= chunks-1 "
+            f"(got max_hamming={max_hamming}, chunks={chunks}): a pair "
+            "with one differing bit per chunk would never share a bucket"
+        )
     sig = simhash_col_df(df, id_col, text_col).localCheckpoint()
     width = 64 // chunks
     banded = sig.select(
@@ -500,8 +520,14 @@ def connected_components(
             warnings.warn(msg, RuntimeWarning)
         else:
             raise RuntimeError(msg)
-    # at the fixed point every edge is (member -> root); roots map to themselves
-    labels = e.select(F.col("s").alias("vertex"), F.col("d").alias("component"))
+    # at the fixed point every edge is (member -> root); roots map to
+    # themselves.  min-aggregate defensively: a warn-mode non-fixed-point
+    # edge set may still hold several candidate roots per vertex, and
+    # duplicate label rows would fan out every consumer's join
+    labels = (
+        e.groupBy(F.col("s").alias("vertex"))
+        .agg(F.min("d").alias("component"))
+    )
     return all_vertices.join(labels, "vertex", "left").select(
         "vertex", F.coalesce("component", "vertex").alias("component")
     )

@@ -30,9 +30,21 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _unspaced(needle: str) -> bool:
+    """CJK-style markers occur INSIDE unsegmented text — match them as
+    raw substrings, not space-delimited words (same rule in the SQL
+    oracle generator, queries._text_stats_oracle)."""
+    return not needle.isascii()
+
+
 def _occurrences(padded: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of ``needle`` via
     length-difference (replicable as SQL in any engine)."""
+    if _unspaced(needle):
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))
+        ).cast("long")
     pat = f" {needle} "
     # each replacement of " needle " by " " removes len(pat)-1 chars;
     # plain string replace is non-overlapping left-to-right in both
@@ -161,15 +173,21 @@ def winnowing_fingerprints(
         for pdf in batches:
             ids, fps = [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    ids.append(i); fps.append([])
+                    continue
                 b = np.frombuffer(txt.lower().encode("utf-8", "ignore"), dtype=np.uint8)
                 if b.size < k:
                     ids.append(i); fps.append([])
                     continue
                 with np.errstate(over="ignore"):
-                    # polynomial k-gram hashes via cumulative horner trick
-                    powers = B ** np.arange(k, dtype=np.uint64)
-                    grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-                    h = (grams * powers[::-1]).sum(axis=1)
+                    # polynomial k-gram hashes via Horner over k shifted
+                    # slices: O(n) memory (a sliding_window_view.astype
+                    # would materialize an (n, k) matrix — 64x the doc)
+                    nh = b.size - k + 1
+                    h = np.zeros(nh, dtype=np.uint64)
+                    for j in range(k):
+                        h = h * B + b[j : j + nh].astype(np.uint64)
                 if h.size >= window:
                     wins = np.lib.stride_tricks.sliding_window_view(h, window)
                     mins = wins.min(axis=1)

@@ -842,6 +842,10 @@ def _text_stats_oracle() -> str:
     from .operators.text import LANG_MARKERS, STOPWORDS
 
     def occ(needle: str) -> str:
+        if not needle.isascii():  # CJK: raw substring (text.py _unspaced)
+            return (
+                f"CAST((length(p) - length(replace(p, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+            )
         pat = f" {needle} "
         return (
             f"CAST((length(p) - length(replace(p, '{pat}', ' '))) / {len(pat) - 1} AS BIGINT)"

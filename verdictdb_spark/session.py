@@ -20,7 +20,9 @@ def ship_package(spark: SparkSession) -> str:
     ``spark-submit --py-files verdictdb_spark.zip``.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(), "verdictdb_spark_pkg")
+    # per-process zip name: concurrent drivers on one machine must not
+    # rewrite a zip another session's executors are still fetching
+    out = os.path.join(tempfile.gettempdir(), f"verdictdb_spark_pkg_{os.getpid()}")
     zip_path = shutil.make_archive(out, "zip", os.path.dirname(pkg_dir), "verdictdb_spark")
     spark.sparkContext.addPyFile(zip_path)
     return zip_path

@@ -10,8 +10,16 @@ persisted per-group state table — no rescan of history, ever.
 ``foreachBatch`` is the right Structured Streaming primitive here
 (not ``applyInPandasWithState``): sketch state is per-GROUP, tiny,
 and must remain queryable at rest between batches; a persisted state
-table with atomic swap gives exactly that, plus kill-resume for free
-(the checkpointed source offset + the last swapped table).
+table with atomic swap gives exactly that.
+
+Exactly-once bookkeeping: ``foreachBatch`` is only at-least-once (a
+batch whose merge finished but whose offset commit did not is
+REPLAYED on restart), so the state dir records the last merged
+batch_id (``_BATCH``) — replays of already-merged batches are skipped,
+which matters for the additive sketches (CMS) where a double merge
+double-counts.  The swap writes ``_next`` -> renames ``current`` to
+``_prev`` -> renames ``_next`` in; a crash between the renames is
+healed on the next call by restoring ``_prev``.
 """
 
 from __future__ import annotations
@@ -36,6 +44,11 @@ def _merge_into_state(
     spark = batch_df.sparkSession
     new_partials = build_partials(batch_df, sketch, value, group_by)
     cur_path = os.path.join(state_path, "current")
+    bak = os.path.join(state_path, "_prev")
+    # heal a crash that died between the two swap renames: current is
+    # gone but the previous state survives in _prev
+    if not os.path.exists(cur_path) and os.path.exists(bak):
+        os.rename(bak, cur_path)
     sel = list(group_by) if group_by else [GROUP_ALL]
     if os.path.exists(cur_path):
         # old states join the merge as just another set of partials
@@ -50,8 +63,9 @@ def _merge_into_state(
     merged = tree_merge(allp, sketch, group_by)
     tmp = os.path.join(state_path, "_next")
     merged.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (posix rename; object stores would version instead)
-    bak = os.path.join(state_path, "_prev")
+    # swap via posix renames (object stores would version instead); the
+    # crash window between the renames is healed by the _prev restore
+    # above, and _prev is only deleted AFTER current exists again
     shutil.rmtree(bak, ignore_errors=True)
     if os.path.exists(cur_path):
         os.rename(cur_path, bak)
@@ -73,13 +87,30 @@ def incremental_sketch_sink(
     Returns the started StreamingQuery.  The persisted state table at
     ``state_path/current`` always holds one merged state per group and
     can be estimated at any time with ``read_sketch_state``.
+
+    The state dir and the streaming checkpoint are a PAIR (batch-id
+    replay bookkeeping lives in the state dir): keep the default
+    in-state checkpoint, or always pass the same ``checkpoint_path``
+    for a given ``state_path`` — a fresh checkpoint restarts batch ids
+    at 0, which the replay guard would skip.
     """
     os.makedirs(state_path, exist_ok=True)
 
+    batch_marker = os.path.join(state_path, "_BATCH")
+
     def for_each(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        _merge_into_state(batch_df, sketch, value, group_by, state_path)
+        # at-least-once guard: skip batches already merged (a crash
+        # after the merge but before the offset commit replays them)
+        if os.path.exists(batch_marker):
+            with open(batch_marker) as f:
+                if batch_id <= int(f.read().strip() or -1):
+                    return
+        if not batch_df.isEmpty():
+            _merge_into_state(batch_df, sketch, value, group_by, state_path)
+        tmp_marker = batch_marker + ".tmp"
+        with open(tmp_marker, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp_marker, batch_marker)
 
     writer = stream_df.writeStream.foreachBatch(for_each).option(
         "checkpointLocation", checkpoint_path or os.path.join(state_path, "_chk")
