@@ -97,6 +97,20 @@ def hash_family(h: np.ndarray, n_hashes: int, bits: int, seed: int) -> np.ndarra
     return out
 
 
+def mod_index_family(hashes: np.ndarray, n: int, modulo: int, seed: int) -> np.ndarray:
+    """(n, len(h)) int64 indices on [0, modulo) via multiply-shift —
+    the ONE definition of the index derivation shared by the CMS and
+    Bloom sketches (drift between them would silently change persisted
+    state compatibility)."""
+    a = _odd_multipliers(n, seed)
+    h = hashes.astype(np.uint64, copy=False)
+    out = np.empty((n, h.shape[0]), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            out[i] = ((h * a[i]) >> np.uint64(13)).astype(np.int64) % modulo
+    return out
+
+
 def clz64(w: np.ndarray) -> np.ndarray:
     """Vectorized count-leading-zeros on uint64 (no per-row Python)."""
     w = w.astype(np.uint64, copy=False)

@@ -59,8 +59,13 @@ class MetaStore:
         return max(matches, key=lambda e: e.added_at) if matches else None
 
     def drop(self, artifact_path: str) -> None:
-        """DROP SCRAMBLE — remove the registry entry (not the data)."""
+        """DROP SCRAMBLE — remove the registry entry (not the data).
+
+        Atomic rewrite (temp file + rename): a crash mid-write must
+        never truncate the whole registry."""
         kept = [e for e in self.entries() if e.artifact_path != artifact_path]
-        with open(self.path, "w") as f:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
             for e in kept:
                 f.write(json.dumps(asdict(e)) + "\n")
+        os.replace(tmp, self.path)

@@ -135,23 +135,39 @@ def approx_top_k(
         .agg(F.sum("_lcount").alias("_lb"))
     )
     gnames = gcols if gcols else [GROUP_ALL]
-    joined = (
-        cand.withColumn(GROUP_ALL, F.lit(0)) if not gcols else cand
-    ).join(F.broadcast(merged), on=gnames, how="inner")
+    # ONE row per group on each side of the join: candidates fold into
+    # an array first, so the ~MB CMS state is never replicated onto (and
+    # shuffled with) every candidate row
+    cand_g = cand.withColumn(GROUP_ALL, F.lit(0)) if not gcols else cand
+    cand_agg = cand_g.groupBy(*gnames).agg(
+        F.collect_list(F.struct("_value", "_vh")).alias("_cands")
+    )
+    joined = merged.join(cand_agg, on=gnames, how="inner")
 
-    out_fields = [joined.schema[g] for g in gcols] + [
+    out_fields = [merged.schema[g] for g in gcols] + [
         T.StructField(out_value, T.StringType()),
         T.StructField(out_count, T.LongType()),
     ]
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        state = sk.from_bytes(pdf["state"].iloc[0])
-        est = sk.query(state, pdf["_vh"].to_numpy())
-        top = np.argsort(-est, kind="stable")[:k]
-        out = pdf.iloc[top][gcols + ["_value"]].copy() if gcols else pdf.iloc[top][["_value"]].copy()
-        out[out_count] = est[top]
-        out.columns = gcols + [out_value, out_count]
-        return out
+        outs = []
+        for _, row in pdf.iterrows():
+            state = sk.from_bytes(row["state"])
+            vals = np.array([c["_value"] for c in row["_cands"]], dtype=object)
+            vhs = np.array([c["_vh"] for c in row["_cands"]], dtype=np.int64)
+            est = sk.query(state, vhs)
+            # deterministic top-k: count desc, then value asc tie-break
+            out = (
+                pd.DataFrame({out_value: vals, out_count: est})
+                .sort_values([out_count, out_value], ascending=[False, True])
+                .head(k)
+            )
+            for g in gcols:
+                out.insert(0, g, row[g])
+            outs.append(out[gcols + [out_value, out_count]])
+        return pd.concat(outs) if outs else pd.DataFrame(
+            columns=gcols + [out_value, out_count]
+        )
 
     return joined.groupBy(*gnames).applyInPandas(score, T.StructType(out_fields))
 
@@ -170,21 +186,38 @@ def approx_frequency(
     merged = cms_sketch_table(df, col, group_by, eps, delta)
     gcols = list(group_by)
     gnames = gcols if gcols else [GROUP_ALL]
-    items_df = spark.createDataFrame([(str(i),) for i in items], ["item"]).withColumn(
-        "_vh", F.xxhash64(F.col("item").cast(dict(df.dtypes)[col] if isinstance(col, str) else "string"))
+    coltype = dict(df.dtypes)[col] if isinstance(col, str) else "string"
+    cast = F.col("item").try_cast(coltype)  # ANSI-safe: malformed -> NULL
+    items_df = spark.createDataFrame([(str(i),) for i in items], ["item"]).select(
+        "item",
+        F.xxhash64(cast).alias("_vh"),
+        # a value that doesn't cast to the column's type can't occur in
+        # the data: report 0, never the garbage at xxhash64(NULL)
+        cast.isNull().alias("_miscast"),
     )
-    joined = merged.crossJoin(F.broadcast(items_df))
+    # all items fold into one array row; each group's state travels once
+    items_agg = items_df.agg(
+        F.collect_list(F.struct("item", "_vh", "_miscast")).alias("_items")
+    )
+    joined = merged.crossJoin(F.broadcast(items_agg))
     out_fields = [merged.schema[g] for g in gnames] + [
         T.StructField("item", T.StringType()),
         T.StructField("est_count", T.LongType()),
     ]
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        state = sk.from_bytes(pdf["state"].iloc[0])
-        est = sk.query(state, pdf["_vh"].to_numpy())
-        out = pdf[gnames + ["item"]].copy()
-        out["est_count"] = est
-        return out
+        outs = []
+        for _, row in pdf.iterrows():
+            state = sk.from_bytes(row["state"])
+            its = row["_items"]
+            vhs = np.array([i["_vh"] if i["_vh"] is not None else 0 for i in its], dtype=np.int64)
+            est = sk.query(state, vhs)
+            est = np.where([i["_miscast"] for i in its], 0, est)
+            out = pd.DataFrame({"item": [i["item"] for i in its], "est_count": est})
+            for g in gnames:
+                out.insert(0, g, row[g])
+            outs.append(out)
+        return pd.concat(outs) if outs else pd.DataFrame(columns=gnames + ["item", "est_count"])
 
     res = joined.groupBy(*gnames).applyInPandas(score, T.StructType(out_fields))
     return res.drop(GROUP_ALL) if not gcols else res

@@ -260,7 +260,11 @@ def extract_features(df: DataFrame, dim: int = 64, fake: bool = False) -> DataFr
                 {"media_id": pdf["media_id"], "features": list(mat / norms)}
             )
 
-    return df.select("media_id", "data").mapInPandas(run, FEATURE_SCHEMA)
+    src = df
+    if not fake and "modality" in df.columns:
+        # the real path decodes images; other modalities would raise
+        src = df.where(F.col("modality") == "image")
+    return src.select("media_id", "data").mapInPandas(run, FEATURE_SCHEMA)
 
 
 # ------------------------------------------------------------ frames

@@ -141,9 +141,16 @@ def ivf_assign(
     sample — the cluster-scale path would swap in ML-lib k-means
     without changing the assignment or probe stages.
     """
-    samp = np.vstack(
-        df.select(vec_col).limit(int(sample_rows)).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
+    # hash-ordered top-N = a deterministic uniform sample; plain
+    # limit() takes the FIRST partitions, which on a clustered/sorted
+    # table trains every centroid on one region of the space
+    samp_df = (
+        df.select(F.col(vec_col).alias("_v"))
+        .withColumn("_r", F.xxhash64(F.col("_v"), F.lit(seed)))
+        .orderBy("_r")
+        .limit(int(sample_rows))
+    )
+    samp = np.vstack(samp_df.toPandas()["_v"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(samp, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     samp = samp / norms
@@ -282,7 +289,16 @@ def embedding_near_duplicates(
     """
     from .dedup import _bucket_pairs
 
-    first = df.select(vec_col).first()
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:  # empty input: empty pair set, not a crash
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("id_a", df.schema[id_col].dataType),
+                T.StructField("id_b", df.schema[id_col].dataType),
+                T.StructField("cosine", T.DoubleType()),
+            ]),
+        )
     dim = len(first[vec_col])
     if planes is None and bands is None:
         n = n_rows if n_rows is not None else df.count()

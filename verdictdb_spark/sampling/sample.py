@@ -69,9 +69,16 @@ def stratified_sample(
     pre = hashed.join(F.broadcast(counts.withColumn("_thr", thr)), "_gk").where(
         F.col("_u") < F.col("_thr")
     )
-    sampled_k = pre.drop("_gn", "_thr").withColumn("_rn", F.row_number().over(part)).where(
-        F.col("_rn") <= n
-    ).drop("_rn", "_u")
+    # materialize once: the undershoot check below AND the caller both
+    # consume this frame — without a checkpoint the scan + broadcast
+    # join + window pipeline would run twice
+    sampled_k = (
+        pre.drop("_gn", "_thr")
+        .withColumn("_rn", F.row_number().over(part))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_u")
+        .localCheckpoint()
+    )
     # exactness check: any group that undershot (possible only when the
     # prefilter bit, i.e. group_size > oversample*n) reruns unfiltered
     got = sampled_k.groupBy("_gk").agg(F.count(F.lit(1)).alias("_got"))

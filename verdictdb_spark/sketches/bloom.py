@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..hashing import _odd_multipliers
+from ..hashing import mod_index_family
 from .state import check_header, pack_header
 
 _BLOOM_SEED = 0xB100F
@@ -39,13 +39,7 @@ class BloomSketch:
         return max(1, int(round(self.m_bits / self.capacity * np.log(2.0))))
 
     def _bit_indices(self, hashes: np.ndarray) -> np.ndarray:
-        a = _odd_multipliers(self.k, _BLOOM_SEED)
-        h = hashes.astype(np.uint64, copy=False)
-        out = np.empty((self.k, h.shape[0]), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            for i in range(self.k):
-                out[i] = ((h * a[i]) >> np.uint64(13)).astype(np.int64) % self.m_bits
-        return out
+        return mod_index_family(hashes, self.k, self.m_bits, _BLOOM_SEED)
 
     # -- state lifecycle ----------------------------------------------------
     def empty(self) -> np.ndarray:

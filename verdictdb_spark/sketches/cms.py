@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..hashing import _odd_multipliers
+from ..hashing import mod_index_family
 from .state import check_header, pack_header
 
 _CMS_SEED = 0xC0FFEE
@@ -40,15 +40,9 @@ class CmsSketch:
         return int(np.ceil(np.log(1.0 / self.delta)))
 
     def _row_indices(self, hashes: np.ndarray) -> np.ndarray:
-        """(d, n) column indices per row hash — multiply-shift family."""
-        a = _odd_multipliers(self.d, _CMS_SEED)
-        h = hashes.astype(np.uint64, copy=False)
-        out = np.empty((self.d, h.shape[0]), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            for i in range(self.d):
-                # top 51 bits of the product, then mod w (fits int64)
-                out[i] = ((h * a[i]) >> np.uint64(13)).astype(np.int64) % self.w
-        return out
+        """(d, n) column indices per row hash — multiply-shift family
+        (shared definition: ``hashing.mod_index_family``)."""
+        return mod_index_family(hashes, self.d, self.w, _CMS_SEED)
 
     # -- state lifecycle ----------------------------------------------------
     def empty(self) -> np.ndarray:

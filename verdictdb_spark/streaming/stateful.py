@@ -117,7 +117,9 @@ def sessionize_stream(
             out["session_end"] = pd.to_datetime(out["session_end"], unit="ms")
             yield out
 
-    stream = events
+    # a NULL event time has no place on an event-time axis (NaT would
+    # poison the state timeout with int64-min and fail every retry)
+    stream = events.where(F.col(ts_col).isNotNull())
     if events.isStreaming:
         # watermarks need instant semantics: NTZ event times are taken
         # as session-local wall clock (the driver tables are NTZ)
