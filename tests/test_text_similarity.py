@@ -278,3 +278,29 @@ def test_lsh_bands_cap_warns():
 
     with pytest.warns(RuntimeWarning, match="bands capped"):
         _lsh_params(10**9, 0.9)
+
+
+def test_multimodal_resize(spark):
+    from verdictdb_spark.operators.multimodal import (
+        _bmp_pixels,
+        decode_bmp,
+        encode_bmp,
+        resize_image,
+        resize_images,
+        synthetic_media,
+    )
+
+    # pixel-level: 2x upscale of a 2x2 image nearest-neighbors exactly
+    px = np.array([[[0, 0, 0], [255, 0, 0]], [[0, 255, 0], [0, 0, 255]]], dtype=np.uint8)
+    out = _bmp_pixels(resize_image(encode_bmp(px), 4, 4))
+    assert out.shape == (4, 4, 3)
+    assert (out[0, 0] == px[0, 0]).all() and (out[3, 3] == px[1, 1]).all()
+    assert (out[0, 3] == px[0, 1]).all()
+
+    # distributed: every image lands at the target box, decodable
+    media = synthetic_media(spark, rows=30)
+    res = resize_images(media, 8, 6).toPandas()
+    assert len(res) == 10
+    for blob in res["data"]:
+        w, h, c, _ = decode_bmp(bytes(blob))
+        assert (w, h, c) == (8, 6, 3)
