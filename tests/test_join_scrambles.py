@@ -211,3 +211,82 @@ def test_aligned_requires_same_join_pair(spark, tables):
     # and the true pair IS aligned
     _, m3 = create_scramble(o, method="hash", column="o_orderkey", nblocks=5, seed=21)
     assert is_aligned(m1, m3, [("l_orderkey", "o_orderkey")])
+
+
+def test_multi_spans_slabs_cover_hypercube_once():
+    import itertools
+
+    from verdictdb_spark.sampling.join import _multi_spans, _slabs
+
+    for ns in ([4, 3, 5], [1, 1, 1], [8, 2, 4], [2, 2]):
+        seen = set()
+        for spans in _multi_spans(ns):
+            for ranges in _slabs(spans):
+                cells = set(
+                    itertools.product(*[range(lo, hi + 1) for lo, hi in ranges])
+                )
+                assert not (seen & cells), (ns, spans, ranges)
+                seen |= cells
+        assert seen == set(itertools.product(*[range(n) for n in ns])), ns
+
+
+def test_three_way_chain_join_full_coverage_exact(spark, sf_dir, tables):
+    from verdictdb_spark.sampling.join import progressive_multi_join_agg
+
+    li, o = tables
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s1 = create_scramble(li, method="uniform", nblocks=4, seed=7)
+    s2 = create_scramble(o, method="uniform", nblocks=3, seed=13)
+    s3 = create_scramble(c, method="uniform", nblocks=2, seed=29)
+    res = list(
+        progressive_multi_join_agg(
+            [s1, s2, s3],
+            [[("l_orderkey", "o_orderkey")], [("o_custkey", "c_custkey")]],
+            [
+                AggSpec("sum", "l_quantity", "sq"),
+                AggSpec("count", None, "cnt"),
+                AggSpec("avg", "l_extendedprice", "ap"),
+            ],
+            group_by=["c_mktsegment"],
+        )
+    )
+    assert res[-1].is_exact
+    final = res[-1].estimates.sort_values("c_mktsegment").reset_index(drop=True)
+    exact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.avg("l_extendedprice").alias("ap"),
+        )
+        .toPandas().sort_values("c_mktsegment").reset_index(drop=True)
+    )
+    for col in ("sq", "cnt", "ap"):
+        assert np.allclose(final[col].astype(float), exact[col].astype(float), rtol=1e-9)
+    # error bars present; mid-run coverage-product estimate is sane
+    mid = res[len(res) // 2]
+    assert 0 < mid.coverage < 1 and "sq_err" in mid.estimates.columns
+    tot = exact["sq"].sum()
+    assert abs(mid.estimates["sq"].sum() - tot) / tot < 0.5
+
+
+def test_multi_join_rejects_countdistinct(spark, sf_dir, tables):
+    from verdictdb_spark.sampling.join import progressive_multi_join_agg
+
+    li, o = tables
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = [
+        create_scramble(li, nblocks=2, seed=1),
+        create_scramble(o, nblocks=2, seed=2),
+        create_scramble(c, nblocks=2, seed=3),
+    ]
+    with pytest.raises(ValueError, match="countdistinct unsupported"):
+        list(
+            progressive_multi_join_agg(
+                s,
+                [[("l_orderkey", "o_orderkey")], [("o_custkey", "c_custkey")]],
+                [AggSpec("countdistinct", "l_orderkey", "nd")],
+            )
+        )

@@ -45,6 +45,7 @@ from .sampling import (  # noqa: F401
     append_scramble,
     approx_agg,
     approx_join_agg,
+    approx_multi_join_agg,
     create_fastconverge_scramble,
     create_scramble,
     load_scramble,

@@ -476,6 +476,7 @@ def ensure_scrambles(spark, sf_dir: str) -> None:
     jc = _ctx(spark, sf_dir, "join")
     jc.create_scramble("lineitem", li, method="uniform", nblocks=8, seed=7)
     jc.create_scramble("orders", _t(spark, sf_dir, "orders"), method="uniform", nblocks=4, seed=13)
+    jc.create_scramble("customer", _t(spark, sf_dir, "customer"), method="uniform", nblocks=2, seed=29)
 
 
 def scramble_progressive_exact(spark, sf_dir):
@@ -670,6 +671,46 @@ def hll_overlap_langs(spark, sf_dir):
         *[F.round(c, 0).alias(c) for c in ["ndv_a", "ndv_b", "ndv_union", "ndv_intersection"]],
         F.round("jaccard", 3).alias("jaccard"),
     )
+
+
+def join_three_scrambles(spark, sf_dir):
+    """THREE-scramble chain join (the full d-dimensional hyper-table
+    cube, ola/HyperTableCube.java:69-106): lineitem x orders x customer
+    all scrambled, hypercube covered by disjoint slab increments over
+    written block-partitioned scrambles.  Full coverage == exact."""
+    _prep(spark)
+    from .sampling import AggSpec
+    from .sampling.join import progressive_multi_join_agg
+
+    ctx = _ctx(spark, sf_dir, "join")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    s1 = ctx.create_scramble("lineitem", li, method="uniform", nblocks=8, seed=7)
+    s2 = ctx.create_scramble("orders", o, method="uniform", nblocks=4, seed=13)
+    s3 = ctx.create_scramble("customer", cu, method="uniform", nblocks=2, seed=29)
+    final = None
+    for r in progressive_multi_join_agg(
+        [s1, s2, s3],
+        [[("l_orderkey", "o_orderkey")], [("o_custkey", "c_custkey")]],
+        [AggSpec("sum", "l_quantity", "sum_qty"), AggSpec("count", None, "cnt")],
+        group_by=["c_mktsegment"],
+    ):
+        final = r
+    pdf = final.estimates[["c_mktsegment", "sum_qty", "cnt"]].copy()
+    pdf["sum_qty"] = pdf["sum_qty"].round().astype("int64")
+    pdf["cnt"] = pdf["cnt"].round().astype("int64")
+    return spark.createDataFrame(pdf).orderBy("c_mktsegment")
+
+
+JOIN3_SQL = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS cnt
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
 
 
 def approx_sql_front_door(spark, sf_dir):
@@ -1016,6 +1057,7 @@ def queries() -> dict[str, Query]:
         "countdistinct_hash_scramble": countdistinct_hash_scramble,
         "q3_approx_priority": q3_approx_priority,
         "join_two_scrambles": join_two_scrambles,
+        "join_three_scrambles": join_three_scrambles,
         "stratified_sample_lineitem": stratified_sample_lineitem,
         "hll_overlap_langs": hll_overlap_langs,
         "approx_sql_front_door": approx_sql_front_door,
@@ -1052,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "countdistinct_hash_scramble": CD_SCRAMBLE_SQL,
         "q3_approx_priority": Q3_APPROX_SQL,
         "join_two_scrambles": JOIN_SCRAMBLES_SQL,
+        "join_three_scrambles": JOIN3_SQL,
         "stratified_sample_lineitem": STRATIFIED_SQL,
         "approx_sql_front_door": FRONT_DOOR_SQL,
         "bloom_semi_join_count": BLOOM_SQL,

@@ -18,8 +18,10 @@ from .progressive import (  # noqa: F401
 )
 from .join import (  # noqa: F401
     approx_join_agg,
+    approx_multi_join_agg,
     is_aligned,
     progressive_join_agg,
+    progressive_multi_join_agg,
 )
 from .sample import (  # noqa: F401
     reservoir_sample,

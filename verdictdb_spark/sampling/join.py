@@ -270,3 +270,200 @@ def approx_join_agg(
             "everything-filtering transform) — nothing to estimate"
         )
     return prev
+
+
+# ===================================================== N-way chain joins
+class _MultiJoinMeta:
+    """N-scramble estimator adapter (the full hyper-table-cube case,
+    ``ola/HyperTableCube.java:69-106``): composite tier = mixed radix
+    over all N per-side tiers, block = side 1's block; sides 2..N
+    multiply in their CURRENT prefix coverage (``AggMeta.java:149-185``
+    generalizes the two-scramble scale product to d dimensions)."""
+
+    def __init__(self, metas: Sequence[ScrambleMeta], his_rest: Sequence[int]):
+        self.metas = list(metas)
+        self.his_rest = list(his_rest)  # current hi block of sides 2..N
+        self.nblocks = metas[0].nblocks
+        self.ks = [max(len(m.cdf), 1) for m in metas]
+
+    def composite(self, tiers: Sequence[int]) -> int:
+        t = 0
+        for ti, k in zip(tiers, self.ks):
+            t = t * k + int(ti)
+        return t
+
+    def _split(self, t: int) -> list[int]:
+        out = []
+        for k in reversed(self.ks):
+            out.append(t % k)
+            t //= k
+        return list(reversed(out))
+
+    def coverage(self, upto_block: int, tier: int = 0) -> float:
+        ts = self._split(int(tier))
+        c = self.metas[0].coverage(upto_block, ts[0])
+        for m, hi, tj in zip(self.metas[1:], self.his_rest, ts[1:]):
+            c *= m.coverage(hi, tj)
+        return c
+
+    def block_prob(self, block: int, tier: int = 0) -> float:
+        ts = self._split(int(tier))
+        p = self.metas[0].block_prob(block, ts[0])
+        for m, hi, tj in zip(self.metas[1:], self.his_rest, ts[1:]):
+            p *= m.coverage(hi, tj)
+        return p
+
+
+def _multi_spans(ns: Sequence[int]) -> list[list[tuple[int, int]]]:
+    """Doubling hypercube prefixes: per iteration, one (lo, hi) per
+    side, lo = first NEW block (lo > hi: no new blocks that side)."""
+    prev = [0] * len(ns)
+    p, out = 1, []
+    while any(pv < n for pv, n in zip(prev, ns)):
+        cur = [min(p, n) for n in ns]
+        out.append([(pv, c - 1) for pv, c in zip(prev, cur)])
+        prev, p = cur, p * 2
+    return out
+
+
+def _slabs(spans: list[tuple[int, int]]) -> list[list[tuple[int, int]]]:
+    """Decompose a hypercube increment into disjoint slabs: slab i =
+    old_1 x .. x old_{i-1} x NEW_i x cur_{i+1} x .. x cur_N (each block
+    tuple of the new hypercube is covered exactly once across slabs)."""
+    out = []
+    for i, (lo_i, hi_i) in enumerate(spans):
+        if lo_i > hi_i:
+            continue
+        ranges = []
+        ok = True
+        for j, (lo_j, hi_j) in enumerate(spans):
+            if j < i:
+                if lo_j - 1 < 0:
+                    ok = False
+                    break
+                ranges.append((0, lo_j - 1))
+            elif j == i:
+                ranges.append((lo_i, hi_i))
+            else:
+                ranges.append((0, max(hi_j, lo_j - 1)))
+        if ok:
+            out.append(ranges)
+    return out
+
+
+def progressive_multi_join_agg(
+    scrambles: Sequence[tuple[DataFrame, ScrambleMeta]],
+    on: Sequence[Sequence[tuple[str, str]]],
+    aggs: Sequence[AggSpec],
+    group_by: Sequence[str] = (),
+    transform=None,
+) -> Iterator[ProgressiveResult]:
+    """Progressive aggregates over a CHAIN JOIN of N scrambles —
+    scramble_1 ⋈ scramble_2 ⋈ ... ⋈ scramble_N, the d-dimensional
+    hyper-table cube.  ``on[i]`` lists the (table_i_col,
+    table_{i+1}_col) equi-join pairs linking consecutive scrambles.
+
+    Each iteration doubles every side's block prefix and joins only the
+    disjoint slab increments of the hypercube, so a full run touches
+    every block tuple exactly once; inclusion probability of a joined
+    row tuple is the product of the N prefix coverages (independent
+    scramble hashes), applied through the same single-scramble H-T
+    estimator.  COUNT DISTINCT is not supported over N-way scramble
+    joins (the aligned-hash argument only composes pairwise).
+    """
+    n = len(scrambles)
+    if n < 2:
+        raise ValueError("need at least two scrambles")
+    if len(on) != n - 1:
+        raise ValueError("need exactly one join-pair list per consecutive pair")
+    for a in aggs:
+        if a.op == "countdistinct":
+            raise ValueError("countdistinct unsupported over N-way scramble joins")
+    group_by = list(group_by)
+    partial_exprs = _partial_exprs(aggs)
+    metas = [m for _, m in scrambles]
+
+    # rename side j>=2 coordinates; side 1 keeps TIER_COL/BLOCK_COL
+    dfs = [scrambles[0][0]]
+    tcols, bcols = [TIER_COL], [BLOCK_COL]
+    for j in range(1, n):
+        tc, bc = f"_vdbtier{j + 1}", f"_vdbblock{j + 1}"
+        dfs.append(
+            scrambles[j][0].withColumnRenamed(TIER_COL, tc).withColumnRenamed(BLOCK_COL, bc)
+        )
+        tcols.append(tc)
+        bcols.append(bc)
+
+    def join_ranges(ranges: list[tuple[int, int]]) -> DataFrame:
+        cur = dfs[0].where(F.col(BLOCK_COL).between(*ranges[0]))
+        for j in range(1, n):
+            right = dfs[j].where(F.col(bcols[j]).between(*ranges[j]))
+            cond = None
+            for lc, rc in on[j - 1]:
+                c = cur[lc] == right[rc]
+                cond = c if cond is None else cond & c
+            cur = cur.join(right, cond)
+        return cur
+
+    acc: list[pd.DataFrame] = []
+    for it, spans in enumerate(_multi_spans([m.nblocks for m in metas])):
+        for ranges in _slabs(spans):
+            joined = join_ranges(ranges)
+            if transform is not None:
+                joined = transform(joined)
+            pdf = (
+                joined.groupBy(*group_by, *tcols, BLOCK_COL)
+                .agg(*partial_exprs)
+                .toPandas()
+            )
+            if len(pdf):
+                acc.append(pdf)
+        cur_his = [max(hi, lo - 1) for lo, hi in spans]
+        if not acc:
+            continue
+        jm = _MultiJoinMeta(metas, cur_his[1:])
+        whole = pd.concat(acc, ignore_index=True)
+        comp = [
+            jm.composite(ts) for ts in zip(*[whole[tc] for tc in tcols])
+        ]
+        whole = whole.assign(**{TIER_COL: comp}).drop(
+            columns=[tc for tc in tcols if tc != TIER_COL]
+        )
+        est = _estimate(whole, aggs, group_by, jm, cur_his[0])
+        cov = 1.0
+        for m, hi in zip(metas, cur_his):
+            cov *= m.coverage(hi, 0)
+        yield ProgressiveResult(
+            estimates=est,
+            coverage=cov,
+            blocks_covered=sum(h + 1 for h in cur_his),
+            iteration=it,
+            is_exact=all(h + 1 >= m.nblocks for m, h in zip(metas, cur_his))
+            and cov >= 1.0 - 1e-9,
+        )
+
+
+def approx_multi_join_agg(
+    scrambles: Sequence[tuple[DataFrame, ScrambleMeta]],
+    on: Sequence[Sequence[tuple[str, str]]],
+    aggs: Sequence[AggSpec],
+    group_by: Sequence[str] = (),
+    value_threshold: float = 0.02,
+    group_threshold: float = 0.05,
+    transform=None,
+    early_stop: bool = True,
+) -> ProgressiveResult:
+    """Run the N-way chain-join progression with the difference-based
+    early stop (or to full hypercube coverage)."""
+    prev: ProgressiveResult | None = None
+    aliases = [a.alias for a in aggs]
+    for res in progressive_multi_join_agg(scrambles, on, aggs, group_by, transform):
+        if early_stop and prev is not None and converged(
+            prev.estimates, res.estimates, group_by, aliases,
+            value_threshold, group_threshold,
+        ):
+            return res
+        prev = res
+    if prev is None:
+        raise ValueError("no block tuples produced rows — nothing to estimate")
+    return prev
