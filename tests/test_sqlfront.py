@@ -1,0 +1,356 @@
+"""Round-3 SQL front door: expression aggregates, ORDER BY / HAVING /
+LIMIT, DISTINCT legality, join substitution (scramble x dim, scramble
+x scramble, N-way chain), error-bar exposure — the reference's full
+rewritable surface (VerdictSQLParser.g4:417-449, ExpressionGen.java:
+111-345, ScrambleTableReplacer.java:61-229)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from verdictdb_spark.api import VerdictContext
+from verdictdb_spark.sqlparse import Unsupported, parse_select
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, tmp_path_factory, lineitem):
+    c = VerdictContext(spark, str(tmp_path_factory.mktemp("sqlfront_root")))
+    c.create_scramble("lineitem", lineitem, method="uniform", nblocks=6, seed=3)
+    return c
+
+
+@pytest.fixture(scope="module")
+def jctx(spark, tmp_path_factory, lineitem, orders, sf_dir):
+    c = VerdictContext(spark, str(tmp_path_factory.mktemp("sqlfront_join")))
+    c.create_scramble("lineitem", lineitem, method="uniform", nblocks=6, seed=7)
+    c.create_scramble("orders", orders, method="uniform", nblocks=3, seed=13)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c.create_scramble("customer", cust, method="uniform", nblocks=2, seed=29)
+    return c
+
+
+# ------------------------------------------------------------- parser
+def test_parse_order_by_not_swallowed_into_group():
+    p = parse_select(
+        "SELECT sum(x) AS s FROM t GROUP BY g ORDER BY g"
+    )
+    assert [gi.expr for gi in p.group_items] == ["g"]
+    # g is not selected, so ORDER BY maps to the hidden group alias
+    assert p.order_by[0].expr == p.group_items[0].alias
+    assert not p.order_by[0].desc
+
+
+def test_parse_expression_aggregate():
+    p = parse_select(
+        "SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount)) AS rev "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    a = [x for x in p.agg_items if not x.hidden]
+    assert a[0].op == "sum" and "l_discount" in a[0].expr and a[0].alias == "rev"
+
+
+def test_parse_limit_and_desc():
+    p = parse_select("SELECT count(*) AS c, g FROM t GROUP BY g ORDER BY c DESC LIMIT 5")
+    assert p.limit == 5 and p.order_by[0].desc
+
+
+def test_parse_having_rewrites_agg_to_alias():
+    p = parse_select(
+        "SELECT g, sum(x) AS s FROM t GROUP BY g HAVING sum(x) > 10 AND count(*) > 2"
+    )
+    assert "s > 10" in p.having
+    hidden = [a for a in p.agg_items if a.hidden]
+    assert len(hidden) == 1 and hidden[0].op == "count"
+
+
+def test_parse_distinct_sum_unsupported():
+    with pytest.raises(Unsupported):
+        parse_select("SELECT sum(DISTINCT x) FROM t")
+    with pytest.raises(Unsupported):
+        parse_select("SELECT avg(DISTINCT x) FROM t")
+
+
+def test_parse_join_pairs():
+    p = parse_select(
+        "SELECT o_orderpriority, count(*) AS c FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o_orderpriority"
+    )
+    assert p.joins[0].pairs == [("l_orderkey", "o_orderkey")]
+
+
+def test_parse_group_by_ordinal():
+    p = parse_select("SELECT g, count(*) AS c FROM t GROUP BY 1")
+    assert p.group_items[0].expr == "g"
+
+
+def test_parse_rejects_outer_join_and_subquery():
+    with pytest.raises(Unsupported):
+        parse_select("SELECT count(*) FROM a LEFT JOIN b ON a.x = b.y")
+    with pytest.raises(Unsupported):
+        parse_select("SELECT count(*) FROM (SELECT * FROM t)")
+    with pytest.raises(Unsupported):
+        parse_select("SELECT count(*) FROM t WHERE x IN (SELECT y FROM u)")
+
+
+def test_parse_keywords_inside_strings_ignored():
+    p = parse_select(
+        "SELECT count(*) AS c FROM t WHERE name = 'GROUP BY ORDER BY FROM'"
+    )
+    assert p.where.strip().startswith("name")
+    assert not p.group_items and not p.order_by
+
+
+# -------------------------------------------------- single-scramble sql
+def test_sql_order_by_limit_no_crash(ctx, lineitem):
+    """Round-2 confirmed crash: ORDER BY swallowed into GROUP BY ->
+    AnalysisException.  Must now return correct ordered results."""
+    out = ctx.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 2",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy("l_returnflag")
+        .limit(2)
+        .toPandas()
+    )
+    assert list(out["l_returnflag"]) == list(exact["l_returnflag"])
+    assert out["s"].to_numpy() == pytest.approx(exact["s"].to_numpy())
+
+
+def test_sql_expression_aggregate_full_coverage(ctx, lineitem):
+    out = ctx.sql(
+        "SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount)) AS rev "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    assert out["rev"].to_numpy() == pytest.approx(exact["rev"].to_numpy(), rel=1e-9)
+
+
+def test_sql_having(ctx, lineitem):
+    out = ctx.sql(
+        "SELECT l_returnflag, count(*) AS c FROM lineitem "
+        "GROUP BY l_returnflag HAVING count(*) > 0 ORDER BY l_returnflag",
+        early_stop=False,
+    ).toPandas()
+    assert len(out) == 3  # all three flags survive a trivial HAVING
+    out2 = ctx.sql(
+        "SELECT l_returnflag, count(*) AS c FROM lineitem "
+        "GROUP BY l_returnflag HAVING count(*) > 1e12",
+        early_stop=False,
+    ).toPandas()
+    assert len(out2) == 0
+
+
+def test_sql_order_by_hidden_aggregate(ctx, lineitem):
+    """ORDER BY an aggregate that is not in the select list."""
+    out = ctx.sql(
+        "SELECT l_returnflag FROM lineitem GROUP BY l_returnflag "
+        "ORDER BY sum(l_quantity) DESC, l_returnflag LIMIT 1",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy(F.desc("s"), "l_returnflag")
+        .limit(1)
+        .toPandas()
+    )
+    assert list(out.columns) == ["l_returnflag"]
+    assert out["l_returnflag"].iloc[0] == exact["l_returnflag"].iloc[0]
+
+
+def test_sql_distinct_sum_falls_back_exact(ctx, spark, lineitem):
+    """ADVICE high: sum(DISTINCT x) must NOT be silently rewritten as
+    plain sum over the scramble — exact pass-through required."""
+    lineitem.createOrReplaceTempView("lineitem")
+    out = ctx.sql("SELECT sum(DISTINCT l_quantity) AS s FROM lineitem").first()["s"]
+    exact = spark.sql("SELECT sum(DISTINCT l_quantity) AS s FROM lineitem").first()["s"]
+    assert out == pytest.approx(exact)
+
+
+def test_sql_group_by_expression(ctx, lineitem):
+    out = ctx.sql(
+        "SELECT year(l_shipdate) AS yr, count(*) AS c FROM lineitem "
+        "GROUP BY year(l_shipdate) ORDER BY yr",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("yr")
+        .toPandas()
+    )
+    assert list(out["yr"]) == list(exact["yr"])
+    assert out["c"].to_numpy() == pytest.approx(exact["c"].to_numpy())
+
+
+def test_sql_with_errors_exposes_err_columns(ctx):
+    out = ctx.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag",
+        early_stop=True,
+        with_errors=True,
+    )
+    assert "s_err" in out.columns
+    pdf = out.toPandas()
+    assert (pdf["s_err"].dropna() >= 0).all()
+
+
+def test_sql_without_errors_hides_err_columns(ctx):
+    out = ctx.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag"
+    )
+    assert "s_err" not in out.columns
+
+
+# ------------------------------------------------------ join substitution
+def test_sql_scramble_join_dimension(ctx, spark, orders, lineitem):
+    """SQL with scrambled lineitem JOIN unscrambled orders: the dim is
+    resolved from the catalog and joined per block batch."""
+    orders.createOrReplaceTempView("orders")
+    out = ctx.sql(
+        "SELECT o_orderpriority, sum(l_quantity) AS s, count(*) AS c "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("o_orderpriority")
+        .toPandas()
+    )
+    assert list(out["o_orderpriority"]) == list(exact["o_orderpriority"])
+    assert out["s"].to_numpy() == pytest.approx(exact["s"].to_numpy())
+    assert out["c"].to_numpy() == pytest.approx(exact["c"].to_numpy())
+
+
+def test_sql_two_scrambles_join(jctx, lineitem, orders):
+    out = jctx.sql(
+        "SELECT o_orderpriority, sum(l_quantity) AS s, count(*) AS c "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("o_orderpriority")
+        .toPandas()
+    )
+    assert list(out["o_orderpriority"]) == list(exact["o_orderpriority"])
+    assert out["s"].to_numpy() == pytest.approx(exact["s"].to_numpy())
+    assert out["c"].to_numpy() == pytest.approx(exact["c"].to_numpy())
+
+
+def test_sql_three_scramble_chain(jctx, spark, sf_dir, lineitem, orders):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = jctx.sql(
+        "SELECT c_mktsegment, sum(l_quantity) AS s, count(*) AS c "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("c_mktsegment")
+        .toPandas()
+    )
+    assert list(out["c_mktsegment"]) == list(exact["c_mktsegment"])
+    assert out["s"].to_numpy() == pytest.approx(exact["s"].to_numpy())
+    assert out["c"].to_numpy() == pytest.approx(exact["c"].to_numpy())
+
+
+def test_sql_join_where_on_dim_column(ctx, spark, orders, lineitem):
+    """WHERE predicate over a dimension column (applied post-join per
+    block) must be honored."""
+    orders.createOrReplaceTempView("orders")
+    out = ctx.sql(
+        "SELECT count(*) AS c FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey WHERE o_totalprice > 200000",
+        early_stop=False,
+    ).first()["c"]
+    exact = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .where("o_totalprice > 200000")
+        .count()
+    )
+    assert out == pytest.approx(exact)
+
+
+def test_sql_tpch_q1_text(ctx, spark, lineitem):
+    """TPC-H Q1's shape as raw SQL text through the front door —
+    the round-2 verdict's done-criterion."""
+    out = ctx.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        early_stop=False,
+    ).toPandas()
+    li = lineitem.where(F.col("l_shipdate") <= "1998-09-01")
+    exact = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+        .toPandas()
+    )
+    assert list(out.columns) == list(exact.columns)
+    pd.testing.assert_frame_equal(
+        out, exact, check_exact=False, rtol=1e-9, check_dtype=False
+    )

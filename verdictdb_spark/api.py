@@ -8,10 +8,19 @@ Rebuilds the two entry points a VerdictDB user actually touches:
   invoked from ``coordinator/SelectQueryCoordinator.java:118-171``)
   and runs the progressive plan with early stop;
 * a SQL string API — ``VerdictContext.sql("SELECT ...")``
-  (``VerdictContext.java:386-391``).  No custom grammar: the
-  supported approximate surface is the reference's rewritable shape
-  (aggregates over one scrambled table with WHERE / GROUP BY); any
-  other statement falls back to exact ``spark.sql``.
+  (``VerdictContext.java:386-391``).  The parse layer
+  (``sqlparse.py``) recognizes clause STRUCTURE only and hands every
+  expression to Catalyst via ``F.expr`` — so aggregates over
+  arbitrary expressions (``sum(l_extendedprice * (1 - l_discount))``,
+  the reference's ``ExpressionGen.java:111-345``), WHERE, GROUP BY
+  (names / expressions / ordinals), HAVING, ORDER BY and LIMIT are
+  all rewritable.  Joins are routed by how many of the FROM tables
+  have registered scrambles: one scramble + dimensions runs the
+  per-block transform join; two scrambles run the ripple-cube join;
+  N scrambles run the hyper-table-cube chain join (the reference's
+  ``ScrambleTableReplacer`` walks join trees the same way).  Any
+  statement outside the rewritable shape falls back to exact
+  ``spark.sql`` — the reference's pass-through contract.
 
 Scrambles are persisted block-partitioned (partition pruning per
 progressive step) and registered in the ``MetaStore`` (newest-wins
@@ -23,50 +32,37 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+from dataclasses import dataclass
 from typing import Callable, Sequence
 
-import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .metastore import MetaStore
 from .sampling.progressive import AggSpec, ProgressiveResult, approx_agg
 from .sampling.scramble import (
+    BLOCK_COL,
+    TIER_COL,
     ScrambleMeta,
     create_fastconverge_scramble,
     create_scramble,
     load_scramble,
     write_scramble,
 )
-
-_AGG_RE = re.compile(
-    r"^(sum|count|avg|min|max|approx_count_distinct)\s*\(\s*(distinct\s+)?([\w\.\*]+)\s*\)"
-    r"(?:\s+as\s+(\w+))?$",
-    re.IGNORECASE,
-)
-_SQL_RE = re.compile(
-    r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<table>[\w\.]+)"
-    r"(?:\s+where\s+(?P<where>.+?))?"
-    r"(?:\s+group\s+by\s+(?P<group>[\w\.,\s]+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+from .sqlparse import ParsedSelect, Unsupported, parse_select
 
 
-def _split_top_level(s: str) -> list[str]:
-    out, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur).strip())
-    return out
+@dataclass
+class _Plan:
+    parsed: ParsedSelect
+    scrambles: list[tuple[DataFrame, ScrambleMeta]]  # chain order
+    scramble_on: list[list[tuple[str, str]]]  # on[i]: chain link i -> i+1
+    dim_joins: list[tuple[DataFrame, list[tuple[str, str]]]]  # (dim, (have, dim) pairs)
+    aggs: list[AggSpec]
+    group_cols: list[str]
+    group_renames: dict[str, str]  # pdf column -> output alias
+    derived: list[tuple[str, str]]  # (col name, expr text) added in transform
 
 
 class VerdictContext:
@@ -180,67 +176,261 @@ class VerdictContext:
             transform=transform, early_stop=early_stop, **kwargs,
         )
 
+    def approx_multi_join(
+        self,
+        tables: Sequence[str],
+        on: Sequence[Sequence[tuple[str, str]]],
+        aggs: Sequence[AggSpec],
+        group_by: Sequence[str] = (),
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        early_stop: bool = True,
+        **kwargs,
+    ) -> ProgressiveResult:
+        """Aggregates over a CHAIN JOIN of N scrambles (the full
+        d-dimensional hyper-table cube, ``ola/HyperTableCube.java:
+        69-106``).  ``on[i]`` links ``tables[i+1]`` to any earlier
+        table in the chain."""
+        from .sampling.join import approx_multi_join_agg
+
+        scrambles = [self.load_scramble_for(t) for t in tables]
+        return approx_multi_join_agg(
+            scrambles, on, aggs, group_by,
+            transform=transform, early_stop=early_stop, **kwargs,
+        )
+
     def approx_df(self, *args, **kwargs) -> DataFrame:
         """``approx`` with the estimates returned as a Spark DataFrame."""
         res = self.approx(*args, **kwargs)
         return self.spark.createDataFrame(res.estimates)
 
     # ------------------------------------------------------------- sql
-    def sql(self, query: str, early_stop: bool = True) -> DataFrame:
-        """Approximate SQL: rewritable aggregate queries over a
-        registered scramble run progressively; everything else falls
-        back to exact ``spark.sql`` (the reference behaves the same:
+    def sql(
+        self, query: str, early_stop: bool = True, with_errors: bool = False
+    ) -> DataFrame:
+        """Approximate SQL: rewritable aggregate queries over registered
+        scrambles run progressively; everything else falls back to
+        exact ``spark.sql`` (the reference behaves the same:
         non-rewritable queries pass through,
-        SelectQueryCoordinator.java:118-171)."""
-        parsed = self._parse(query)
-        if parsed is None:
-            return self.spark.sql(query)
-        table, aggs, group_by, where = parsed
-        if self.metastore.lookup(table, kind="scramble") is None:
+        SelectQueryCoordinator.java:118-171).
+
+        ``with_errors=True`` appends a ``<alias>_err`` half-width
+        (~95% CI) column per aggregate — the reference's
+        ``VerdictSingleResult`` accuracy surface."""
+        try:
+            plan = self._plan(query)
+        except Unsupported:
+            plan = None
+        if plan is None:
             return self.spark.sql(query)
         try:
-            res = self.approx(table, aggs, group_by, where, early_stop=early_stop)
-        except ValueError:
+            return self._execute(plan, early_stop=early_stop, with_errors=with_errors)
+        except (ValueError, KeyError, AnalysisException):
             # the registered scramble can't legally answer this shape
-            # (e.g. COUNT DISTINCT on a uniform scramble) — the contract
-            # is pass-through, not error (SelectQueryCoordinator behaves
-            # the same for non-rewritable queries)
+            # (e.g. COUNT DISTINCT on a uniform scramble), or an
+            # expression failed Spark analysis under the rewrite — the
+            # contract is pass-through, not error
             return self.spark.sql(query)
-        pdf = res.estimates
-        # SQL surface returns the requested columns only (no _err cols)
-        cols = list(group_by) + [a.alias for a in aggs]
-        return self.spark.createDataFrame(pdf[cols])
 
-    def _parse(self, query: str):
-        m = _SQL_RE.match(query)
-        if not m:
-            return None
-        group_by = (
-            [g.strip() for g in m.group("group").split(",")] if m.group("group") else []
-        )
-        aggs: list[AggSpec] = []
-        for item in _split_top_level(m.group("select")):
-            am = _AGG_RE.match(item)
-            if am:
-                op, distinct, col, alias = (
-                    am.group(1).lower(),
-                    am.group(2),
-                    am.group(3),
-                    am.group(4),
-                )
-                if op == "count" and distinct:
-                    op = "countdistinct"
-                elif op == "approx_count_distinct":
-                    op = "countdistinct"
-                col_arg = None if (op == "count" and col == "*") else col
-                aggs.append(AggSpec(op, col_arg, alias or f"{op}_{col}".replace("*", "star")))
-            elif re.fullmatch(r"[\w\.]+", item) and item in group_by:
-                continue  # plain group column
+    # -------------------------------------------------------- planning
+    def _plan(self, query: str) -> _Plan | None:
+        p = parse_select(query)
+        n = len(p.tables)
+        scramble_at: dict[int, tuple[DataFrame, ScrambleMeta]] = {}
+        dim_at: dict[int, DataFrame] = {}
+        for i, t in enumerate(p.tables):
+            if self.metastore.lookup(t.name, kind="scramble") is not None:
+                scramble_at[i] = self.load_scramble_for(t.name)
             else:
-                return None  # not rewritable -> exact fallback
-        if not aggs:
-            return None
-        return m.group("table"), aggs, group_by, m.group("where")
+                try:
+                    dim_at[i] = self.spark.table(t.name)
+                except AnalysisException:
+                    raise Unsupported(f"unresolvable table {t.name!r}")
+        if not scramble_at:
+            return None  # nothing to substitute — plain exact SQL
+
+        # column ownership (internal scramble columns excluded)
+        owner: dict[str, int] = {}
+        ambiguous: set[str] = set()
+        cols_of: dict[int, set[str]] = {}
+        for i in range(n):
+            df = scramble_at[i][0] if i in scramble_at else dim_at[i]
+            cols = {c for c in df.columns if c not in (TIER_COL, BLOCK_COL)}
+            cols_of[i] = cols
+            for c in cols:
+                if c in owner:
+                    ambiguous.add(c)
+                else:
+                    owner[c] = i
+
+        def own(col: str) -> int:
+            c = col.split(".")[-1]
+            if c in ambiguous:
+                raise Unsupported(f"ambiguous column {c!r}")
+            if c not in owner:
+                raise Unsupported(f"unknown column {c!r}")
+            return owner[c]
+
+        # join graph: edges[(i, j)] with i < j -> [(col_i, col_j), ...]
+        edges: dict[tuple[int, int], list[tuple[str, str]]] = {}
+        for j in p.joins:
+            for l, r in j.pairs:
+                li, ri = own(l), own(r)
+                if li == ri:
+                    raise Unsupported(f"self-referential join pair {l}={r}")
+                key = (li, ri) if li < ri else (ri, li)
+                pair = (l, r) if li < ri else (r, l)
+                edges.setdefault(key, []).append(pair)
+
+        def pairs_between(a: int, b: int) -> list[tuple[str, str]]:
+            """Oriented (col_of_a, col_of_b) equi pairs."""
+            if a < b:
+                return list(edges.get((a, b), []))
+            return [(y, x) for x, y in edges.get((b, a), [])]
+
+        # order the scrambles into a chain (FROM order, connectivity to
+        # any earlier chain member — progressive_multi_join_agg joins
+        # side j against the ACCUMULATED frame, so that is sufficient)
+        scr_order: list[int] = []
+        scramble_on: list[list[tuple[str, str]]] = []
+        remaining = list(scramble_at)
+        scr_order.append(remaining.pop(0))
+        while remaining:
+            for idx, cand in enumerate(remaining):
+                link = [pr for s in scr_order for pr in pairs_between(s, cand)]
+                if link:
+                    scr_order.append(remaining.pop(idx))
+                    scramble_on.append(link)
+                    break
+            else:
+                raise Unsupported(
+                    "scrambled tables are not directly joined to each other "
+                    "(connected only through an unscrambled table)"
+                )
+
+        # dimensions attach after the scramble chain, each linked to the
+        # already-covered set; column-name collisions across the final
+        # join would make F.expr references ambiguous
+        covered = set(scr_order)
+        covered_cols = set().union(*(cols_of[i] for i in scr_order)) if scr_order else set()
+        dim_joins: list[tuple[DataFrame, list[tuple[str, str]]]] = []
+        remaining_dims = [i for i in range(n) if i not in scramble_at]
+        while remaining_dims:
+            for idx, cand in enumerate(remaining_dims):
+                link = [pr for c in covered for pr in pairs_between(c, cand)]
+                if link:
+                    if cols_of[cand] & covered_cols:
+                        raise Unsupported(
+                            f"duplicate column names across joined tables: "
+                            f"{sorted(cols_of[cand] & covered_cols)[:3]}"
+                        )
+                    dim_joins.append((dim_at[cand], link))
+                    covered.add(cand)
+                    covered_cols |= cols_of[cand]
+                    remaining_dims.pop(idx)
+                    break
+            else:
+                raise Unsupported("disconnected table in FROM (cross join shape)")
+
+        # aggregates: bare columns pass through; expressions become
+        # derived columns computed in the per-block transform
+        derived: list[tuple[str, str]] = []
+        aggs: list[AggSpec] = []
+        for k, a in enumerate(p.agg_items):
+            if a.expr is None:
+                aggs.append(AggSpec("count", None, a.alias))
+            elif re.fullmatch(r"\w+", a.expr) and a.expr.split(".")[-1] in owner:
+                aggs.append(AggSpec(a.op, a.expr, a.alias))
+            else:
+                name = f"_vdb_a{k}"
+                derived.append((name, a.expr))
+                aggs.append(AggSpec(a.op, name, a.alias))
+
+        group_cols: list[str] = []
+        group_renames: dict[str, str] = {}
+        for gi in p.group_items:
+            if re.fullmatch(r"\w+", gi.expr) and gi.expr in owner:
+                group_cols.append(gi.expr)
+                if gi.alias != gi.expr:
+                    group_renames[gi.expr] = gi.alias
+            else:
+                derived.append((gi.alias, gi.expr))
+                group_cols.append(gi.alias)
+
+        return _Plan(
+            parsed=p,
+            scrambles=[scramble_at[i] for i in scr_order],
+            scramble_on=scramble_on,
+            dim_joins=dim_joins,
+            aggs=aggs,
+            group_cols=group_cols,
+            group_renames=group_renames,
+            derived=derived,
+        )
+
+    # ------------------------------------------------------- execution
+    def _execute(
+        self, plan: _Plan, early_stop: bool, with_errors: bool
+    ) -> DataFrame:
+        p = plan.parsed
+
+        def tf(batch: DataFrame) -> DataFrame:
+            for dim_df, pairs in plan.dim_joins:
+                cond = None
+                for hc, dc in pairs:
+                    c = batch[hc] == dim_df[dc]
+                    cond = c if cond is None else cond & c
+                batch = batch.join(dim_df, cond)
+            if p.where is not None:
+                batch = batch.where(F.expr(p.where))
+            for name, expr in plan.derived:
+                batch = batch.withColumn(name, F.expr(expr))
+            return batch
+
+        if len(plan.scrambles) == 1:
+            sdf, meta = plan.scrambles[0]
+            res = approx_agg(
+                sdf, meta, plan.aggs, plan.group_cols,
+                transform=tf, early_stop=early_stop,
+            )
+        elif len(plan.scrambles) == 2:
+            from .sampling.join import approx_join_agg
+
+            (s1, m1), (s2, m2) = plan.scrambles
+            res = approx_join_agg(
+                s1, m1, s2, m2, plan.scramble_on[0], plan.aggs, plan.group_cols,
+                transform=tf, early_stop=early_stop,
+            )
+        else:
+            from .sampling.join import approx_multi_join_agg
+
+            res = approx_multi_join_agg(
+                plan.scrambles, plan.scramble_on, plan.aggs, plan.group_cols,
+                transform=tf, early_stop=early_stop,
+            )
+
+        pdf = res.estimates
+        if plan.group_renames:
+            pdf = pdf.rename(columns=plan.group_renames)
+        out = self.spark.createDataFrame(pdf)
+        if p.having is not None:
+            out = out.where(F.expr(p.having))
+        if p.order_by:
+            out = out.orderBy(
+                *[
+                    F.expr(o.expr).desc() if o.desc else F.expr(o.expr).asc()
+                    for o in p.order_by
+                ]
+            )
+        cols = list(p.select_order)
+        if with_errors:
+            for a in plan.aggs:
+                err = f"{a.alias}_err"
+                if a.alias in cols and err in out.columns:
+                    cols.insert(cols.index(a.alias) + 1, err)
+        out = out.select(*cols)
+        if p.limit is not None:
+            out = out.limit(p.limit)
+        return out
 
 
 # --------------------------------------------------------- module-level

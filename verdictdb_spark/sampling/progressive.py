@@ -56,13 +56,39 @@ class AggSpec:
             raise ValueError(f"{self.op} requires a column")
 
 
-@dataclass
 class ProgressiveResult:
-    estimates: pd.DataFrame  # group cols + alias cols (+ <alias>_err)
-    coverage: float
-    blocks_covered: int
-    iteration: int
-    is_exact: bool
+    """Progressive estimate snapshot.
+
+    ``estimates`` is the pandas frame (group cols + alias cols +
+    ``<alias>_err``).  Under the Spark estimate engine (high-cardinality
+    group-bys) the estimate lives in ``estimates_sdf`` and ``estimates``
+    materializes it lazily — callers that never touch ``.estimates``
+    (e.g. writing the result out with Spark) keep the whole pipeline
+    distributed."""
+
+    def __init__(
+        self,
+        estimates: pd.DataFrame | None = None,
+        coverage: float = 0.0,
+        blocks_covered: int = 0,
+        iteration: int = 0,
+        is_exact: bool = False,
+        estimates_sdf: DataFrame | None = None,
+    ):
+        if estimates is None and estimates_sdf is None:
+            raise ValueError("need estimates or estimates_sdf")
+        self._pdf = estimates
+        self.estimates_sdf = estimates_sdf
+        self.coverage = coverage
+        self.blocks_covered = blocks_covered
+        self.iteration = iteration
+        self.is_exact = is_exact
+
+    @property
+    def estimates(self) -> pd.DataFrame:
+        if self._pdf is None:
+            self._pdf = self.estimates_sdf.toPandas()
+        return self._pdf
 
 
 def _partial_exprs(aggs: Sequence[AggSpec]) -> list:
@@ -197,8 +223,7 @@ def _attach_errors(
       min/max report the raw per-block spread (a stability heuristic,
       matching the reference's uniform subsample treatment).
     """
-    blocks = sorted(acc[BLOCK_COL].unique())
-    nb = len(blocks)
+    nb = acc[BLOCK_COL].nunique()
     if nb <= 1:
         return
     # inverse single-block inclusion probability per (tier, block) row
@@ -206,27 +231,50 @@ def _attach_errors(
         [1.0 / meta.block_prob(int(b), int(t)) for t, b in zip(acc[TIER_COL], acc[BLOCK_COL])]
     )
 
-    def per_block_scaled(src: str) -> pd.DataFrame:
-        """Per-(group, block) estimate of the population total from that
-        block alone, zero-filled over groups x covered blocks."""
-        tmp = acc[group_by + [BLOCK_COL]].copy()
-        tmp["_v"] = acc[src].to_numpy() * inv_p
-        per = tmp.groupby(group_by + [BLOCK_COL], dropna=False, sort=False)["_v"].sum()
-        if group_by:
-            full = pd.MultiIndex.from_product(
-                [per.index.get_level_values(g).unique() for g in group_by] + [blocks],
-                names=group_by + [BLOCK_COL],
+    # one sparse per-(group, block) pass for ALL sources; the empty
+    # (group, block) cells enter the variance via the CLOSED FORM
+    # (mean = S1/nb, E[v^2] = S2/nb) rather than a dense groups x
+    # blocks zero-fill — identical numbers, O(nnz) memory (round 2's
+    # dense MultiIndex grid was the last scale-killer at 10^6 groups).
+    srcs: list[str] = []
+    for a in aggs:
+        if a.op in ("sum", "count", "countdistinct"):
+            srcs.append(
+                {
+                    "sum": f"psum_{a.col}",
+                    "count": "pcnt_star" if a.col is None else f"pcnt_{a.col}",
+                    "countdistinct": f"pndv_{a.col}",
+                }[a.op]
             )
-            per = per.reindex(full, fill_value=0.0)
-        else:
-            per = per.reindex(blocks, fill_value=0.0)
-        return per.reset_index()
+        elif a.op == "avg":
+            srcs += [f"psum_{a.col}", f"pcnt_{a.col}"]
+    srcs = list(dict.fromkeys(srcs))
+    minmax = [
+        (f"pmin_{a.col}" if a.op == "min" else f"pmax_{a.col}", a.op)
+        for a in aggs
+        if a.op in ("min", "max")
+    ]
+    tmp = acc[group_by + [BLOCK_COL]].copy()
+    for s in srcs:
+        tmp[s] = acc[s].to_numpy() * inv_p
+    for s, op in minmax:
+        tmp[s] = acc[s].to_numpy()
+    agg_spec = {s: "sum" for s in srcs} | {s: op for s, op in minmax}
+    if group_by:
+        per = (
+            tmp.groupby(group_by + [BLOCK_COL], dropna=False, sort=False)
+            .agg(agg_spec)
+            .reset_index()
+        )
+    else:
+        per = tmp.groupby([BLOCK_COL], sort=False).agg(agg_spec).reset_index()
 
-    def err_from(per: pd.DataFrame, col: str) -> pd.Series | float:
+    def grouped(frame: pd.DataFrame, col_map: dict[str, tuple[str, str]]):
         if group_by:
-            st = per.groupby(group_by, dropna=False, sort=False)[col].agg(["std", "count"])
-            return 1.96 * st["std"] / np.sqrt(st["count"])
-        return 1.96 * per[col].std() / np.sqrt(len(per))
+            return frame.groupby(group_by, dropna=False, sort=False).agg(**col_map)
+        return pd.DataFrame(
+            {k: [frame[c].agg(how)] for k, (c, how) in col_map.items()}
+        )
 
     def put(alias: str, err) -> None:
         if group_by:
@@ -240,8 +288,115 @@ def _attach_errors(
                 err_map.get(tuple(k) if len(group_by) > 1 else k, np.nan) for k in keys
             ]
         else:
-            out[f"{alias}_err"] = err
+            out[f"{alias}_err"] = float(err.iloc[0]) if hasattr(err, "iloc") else err
 
+    for s in srcs:
+        per[f"_sq_{s}"] = per[s] ** 2
+    sums = grouped(
+        per,
+        {f"S1_{s}": (s, "sum") for s in srcs}
+        | {f"S2_{s}": (f"_sq_{s}", "sum") for s in srcs},
+    )
+
+    def closed_form_err(s: str):
+        """std over nb per-block estimates (implicit zeros), ddof=1."""
+        mean = sums[f"S1_{s}"] / nb
+        var = (sums[f"S2_{s}"] - nb * mean**2) / (nb - 1)
+        return 1.96 * np.sqrt(np.maximum(var, 0.0) / nb)
+
+    for a in aggs:
+        if a.op in ("sum", "count", "countdistinct"):
+            s = {
+                "sum": f"psum_{a.col}",
+                "count": "pcnt_star" if a.col is None else f"pcnt_{a.col}",
+                "countdistinct": f"pndv_{a.col}",
+            }[a.op]
+            put(a.alias, closed_form_err(s))
+        elif a.op == "avg":
+            # blocks with no rows of the group carry no ratio information
+            num, den = f"psum_{a.col}", f"pcnt_{a.col}"
+            sub = per[per[den] > 0].copy()
+            sub["_r"] = sub[num] / sub[den]
+            st = grouped(sub, {"_std": ("_r", "std"), "_n": ("_r", "count")})
+            put(a.alias, 1.96 * st["_std"] / np.sqrt(st["_n"]))
+        elif a.op in ("min", "max"):
+            s = f"pmin_{a.col}" if a.op == "min" else f"pmax_{a.col}"
+            st = grouped(per, {"_std": (s, "std"), "_n": (s, "count")})
+            put(a.alias, 1.96 * st["_std"] / np.sqrt(st["_n"]))
+
+
+def _estimate_spark(
+    partials: DataFrame,
+    aggs: Sequence[AggSpec],
+    group_by: list[str],
+    meta: ScrambleMeta,
+    hi_block: int,
+) -> DataFrame:
+    """Spark-side twin of ``_estimate`` + ``_attach_errors`` for
+    HIGH-CARDINALITY group-bys: the (group, tier, block) partial table
+    stays a DataFrame and both the Horvitz-Thompson totals and the
+    closed-form subsample errors are computed as two Spark
+    aggregations, so the driver never holds O(groups x blocks) rows —
+    the reference switches to its CTAS/temp-table combiner
+    (``ola/SelectAsyncAggExecutionNode``) for exactly this case.
+
+    Numerically identical to the pandas path: totals scale each
+    (tier, block) partial by 1/coverage(hi, tier); errors treat the
+    per-block inverse-probability estimates (implicit zeros over the
+    ``nb`` covered blocks) with the same ddof=1 closed form."""
+    spark = partials.sparkSession
+    pairs = partials.select(TIER_COL, BLOCK_COL).distinct().collect()
+    nb = len({int(r[BLOCK_COL]) for r in pairs})
+    rows = [
+        (
+            int(r[TIER_COL]),
+            int(r[BLOCK_COL]),
+            1.0 / meta.coverage(hi_block, int(r[TIER_COL])),
+            1.0 / meta.block_prob(int(r[BLOCK_COL]), int(r[TIER_COL])),
+        )
+        for r in pairs
+    ]
+    scale_df = spark.createDataFrame(
+        rows, schema=f"{TIER_COL} int, {BLOCK_COL} int, _scale double, _invp double"
+    )
+    pcols = [c for c in partials.columns if c.startswith(("psum_", "pcnt_", "pndv_"))]
+    mins = [c for c in partials.columns if c.startswith("pmin_")]
+    maxs = [c for c in partials.columns if c.startswith("pmax_")]
+    j = partials.join(F.broadcast(scale_df), [TIER_COL, BLOCK_COL])
+    # level 1: per (group, block) — tier-consolidated totals (S_) and
+    # per-block single-block population estimates (V_) in one pass
+    perb = j.groupBy(*group_by, BLOCK_COL).agg(
+        *[F.sum(F.col(c) * F.col("_scale")).alias(f"S_{c}") for c in pcols],
+        *[F.sum(F.col(c) * F.col("_invp")).alias(f"V_{c}") for c in pcols],
+        *[F.min(c).alias(c) for c in mins],
+        *[F.max(c).alias(c) for c in maxs],
+    )
+
+    def closed_err(v):  # std over nb per-block estimates, implicit zeros
+        s1, s2 = F.sum(v), F.sum(F.col(v) * F.col(v))
+        var = (s2 - s1 * s1 / F.lit(float(nb))) / F.lit(float(nb - 1))
+        return 1.96 * F.sqrt(F.greatest(var, F.lit(0.0)) / F.lit(float(nb)))
+
+    def obs_err(col):  # observed-blocks-only spread (avg ratio, min/max)
+        return F.when(
+            F.count(col) > 1,
+            1.96 * F.stddev_samp(col) / F.sqrt(F.count(col).cast("double")),
+        )
+
+    final_exprs, out_cols = [], list(group_by)
+    seen: set[str] = set()
+
+    def add(expr, name):
+        if name not in seen:
+            seen.add(name)
+            final_exprs.append(expr.alias(name))
+
+    for c in pcols:
+        add(F.sum(f"S_{c}"), c)
+    for c in mins:
+        add(F.min(c), c)
+    for c in maxs:
+        add(F.max(c), c)
     for a in aggs:
         if a.op in ("sum", "count", "countdistinct"):
             src = {
@@ -249,24 +404,85 @@ def _attach_errors(
                 "count": "pcnt_star" if a.col is None else f"pcnt_{a.col}",
                 "countdistinct": f"pndv_{a.col}",
             }[a.op]
-            per = per_block_scaled(src)
-            put(a.alias, err_from(per, "_v"))
+            if nb > 1:
+                add(closed_err(f"V_{src}"), f"{a.alias}_err")
         elif a.op == "avg":
-            num = per_block_scaled(f"psum_{a.col}").rename(columns={"_v": "_num"})
-            den = per_block_scaled(f"pcnt_{a.col}").rename(columns={"_v": "_den"})
-            per = num.merge(den, on=group_by + [BLOCK_COL])
-            # blocks with no rows of the group carry no ratio information
-            per = per[per["_den"] > 0].copy()
-            per["_r"] = per["_num"] / per["_den"]
-            put(a.alias, err_from(per, "_r"))
+            num, den = f"V_psum_{a.col}", f"V_pcnt_{a.col}"
+            r = F.when(F.col(den) > 0, F.col(num) / F.col(den))
+            if nb > 1:
+                add(obs_err(r), f"{a.alias}_err")
         elif a.op in ("min", "max"):
             src = f"pmin_{a.col}" if a.op == "min" else f"pmax_{a.col}"
-            per = (
-                acc.groupby(group_by + [BLOCK_COL], dropna=False, sort=False)[src]
-                .agg(a.op)
-                .reset_index()
+            if nb > 1:
+                add(obs_err(F.col(src)), f"{a.alias}_err")
+    agged = perb.groupBy(*group_by).agg(*final_exprs)
+    sel = [F.col(g) for g in group_by]
+    for a in aggs:
+        if a.op == "sum":
+            sel.append(F.col(f"psum_{a.col}").alias(a.alias))
+        elif a.op == "count":
+            sel.append(
+                F.col("pcnt_star" if a.col is None else f"pcnt_{a.col}").alias(a.alias)
             )
-            put(a.alias, err_from(per, src))
+        elif a.op == "avg":
+            sel.append((F.col(f"psum_{a.col}") / F.col(f"pcnt_{a.col}")).alias(a.alias))
+        elif a.op == "min":
+            sel.append(F.col(f"pmin_{a.col}").alias(a.alias))
+        elif a.op == "max":
+            sel.append(F.col(f"pmax_{a.col}").alias(a.alias))
+        elif a.op == "countdistinct":
+            sel.append(F.col(f"pndv_{a.col}").alias(a.alias))
+        if nb > 1:
+            sel.append(F.col(f"{a.alias}_err"))
+    return agged.select(*sel)
+
+
+def converged_sdf(
+    prev: DataFrame,
+    cur: DataFrame,
+    group_by: Sequence[str],
+    value_cols: Sequence[str],
+    value_threshold: float = 0.02,
+    group_threshold: float = 0.05,
+) -> bool:
+    """Spark-side difference-based stop rule — ONE action over a
+    null-safe full-outer join of the two estimate frames (the driver
+    never materializes either side)."""
+    gb = list(group_by)
+    p = prev.select(
+        *gb, *[F.col(v).alias(f"{v}_p") for v in value_cols]
+    ).withColumn("_pm", F.lit(1))
+    c = cur.select(
+        *[F.col(g).alias(f"{g}_c") for g in gb],
+        *[F.col(v).alias(f"{v}_c") for v in value_cols],
+    ).withColumn("_cm", F.lit(1))
+    if gb:
+        cond = None
+        for g in gb:
+            e = p[g].eqNullSafe(c[f"{g}_c"])
+            cond = e if cond is None else cond & e
+        m = p.join(c, cond, "full_outer")
+    else:
+        m = p.crossJoin(c)
+    viol = None
+    for v in value_cols:
+        rel = F.abs(F.col(f"{v}_c") - F.col(f"{v}_p")) / F.greatest(
+            F.abs(F.col(f"{v}_p")), F.lit(1e-12)
+        )
+        x = F.max(F.when(rel > value_threshold, 1).otherwise(0))
+        viol = x if viol is None else F.greatest(viol, x)
+    row = m.agg(
+        F.sum("_pm").alias("np"),
+        F.sum("_cm").alias("nc"),
+        F.sum(F.col("_pm") * F.col("_cm")).alias("nm"),
+        viol.alias("viol"),
+    ).first()
+    np_, nc_, nm_ = (int(row[k] or 0) for k in ("np", "nc", "nm"))
+    if abs(nc_ - np_) > group_threshold * max(np_, 1):
+        return False
+    if gb and nm_ < max(np_, nc_) * (1 - group_threshold):
+        return False
+    return int(row["viol"] or 0) == 0
 
 
 def progressive_agg(
@@ -276,6 +492,8 @@ def progressive_agg(
     group_by: Sequence[str] = (),
     schedule: str = "doubling",
     transform=None,
+    engine: str = "auto",
+    engine_threshold: int = 200_000,
 ) -> Iterator[ProgressiveResult]:
     """Yield progressively refined estimates, one per block span.
 
@@ -292,37 +510,74 @@ def progressive_agg(
     deterministic and row-local (FK joins / filters / projections),
     so per-block inclusion probabilities carry through unchanged.
     ``transform`` must preserve the tier/block columns.
+
+    ``engine`` selects where partials accumulate and estimates are
+    computed: ``"driver"`` collects the tiny per-(group, tier, block)
+    partial table to pandas (the reference's in-memory H2 combiner);
+    ``"spark"`` keeps it a DataFrame and runs the whole estimator as
+    Spark aggregations (the reference's CTAS/temp-table path for
+    high-cardinality group-bys, ``ola/SelectAsyncAggExecutionNode``);
+    ``"auto"`` starts on the driver and switches to Spark once the
+    accumulated partial rows exceed ``engine_threshold``.  At cluster
+    scale swap the per-iteration ``localCheckpoint`` for a reliable
+    checkpoint directory.
     """
     _validate(aggs, meta)
     group_by = list(group_by)
     partial_exprs = _partial_exprs(aggs)
     acc: list[pd.DataFrame] = []
+    total_rows = 0
+    acc_sdf: DataFrame | None = None
+    use_spark = engine == "spark"
     spans = _schedule(meta.nblocks, schedule)
     for it, (lo, hi) in enumerate(spans):
         batch = scramble.where(F.col(BLOCK_COL).between(lo, hi))
         if transform is not None:
             batch = transform(batch)
-        pdf = (
-            batch.groupBy(*group_by, TIER_COL, BLOCK_COL)
-            .agg(*partial_exprs)
-            .toPandas()
-        )
-        if len(pdf):
-            acc.append(pdf)
-        if not acc:
-            continue
-        whole = pd.concat(acc, ignore_index=True)
-        est = _estimate(whole, aggs, group_by, meta, hi)
+        agg_df = batch.groupBy(*group_by, TIER_COL, BLOCK_COL).agg(*partial_exprs)
+        if not use_spark:
+            pdf = agg_df.toPandas()
+            if len(pdf):
+                acc.append(pdf)
+                total_rows += len(pdf)
+            if engine == "auto" and total_rows > engine_threshold:
+                use_spark = True
+                if acc:
+                    whole = pd.concat(acc, ignore_index=True)
+                    acc_sdf = scramble.sparkSession.createDataFrame(
+                        whole, schema=agg_df.schema
+                    ).localCheckpoint(eager=True)
+                acc = []
+        else:
+            nxt = agg_df if acc_sdf is None else acc_sdf.unionByName(agg_df)
+            # materialize: old blocks must not be re-scanned per iteration
+            acc_sdf = nxt.localCheckpoint(eager=True)
         cov = meta.coverage(hi, 0)
-        yield ProgressiveResult(
-            estimates=est,
-            coverage=cov,
-            blocks_covered=hi + 1,
-            iteration=it,
-            # a partial-size scramble never reaches coverage 1: its
-            # full prefix is still an estimate of the original table
-            is_exact=hi + 1 >= meta.nblocks and cov >= 1.0 - 1e-9,
-        )
+        # a partial-size scramble never reaches coverage 1: its
+        # full prefix is still an estimate of the original table
+        exact = hi + 1 >= meta.nblocks and cov >= 1.0 - 1e-9
+        if use_spark:
+            if acc_sdf is None:
+                continue
+            yield ProgressiveResult(
+                estimates_sdf=_estimate_spark(acc_sdf, aggs, group_by, meta, hi),
+                coverage=cov,
+                blocks_covered=hi + 1,
+                iteration=it,
+                is_exact=exact,
+            )
+        else:
+            if not acc:
+                continue
+            whole = pd.concat(acc, ignore_index=True)
+            est = _estimate(whole, aggs, group_by, meta, hi)
+            yield ProgressiveResult(
+                estimates=est,
+                coverage=cov,
+                blocks_covered=hi + 1,
+                iteration=it,
+                is_exact=exact,
+            )
 
 
 def converged(
@@ -365,6 +620,8 @@ def approx_agg(
     group_threshold: float = 0.05,
     transform=None,
     early_stop: bool = True,
+    engine: str = "auto",
+    engine_threshold: int = 200_000,
 ) -> ProgressiveResult:
     """Run progressively until the stop rule fires (or full coverage).
 
@@ -376,12 +633,23 @@ def approx_agg(
     """
     prev: ProgressiveResult | None = None
     aliases = [a.alias for a in aggs]
-    for res in progressive_agg(scramble, meta, aggs, group_by, schedule, transform):
-        if early_stop and prev is not None and converged(
-            prev.estimates, res.estimates, group_by, aliases,
-            value_threshold, group_threshold,
-        ):
-            return res
+    for res in progressive_agg(
+        scramble, meta, aggs, group_by, schedule, transform,
+        engine=engine, engine_threshold=engine_threshold,
+    ):
+        if early_stop and prev is not None:
+            if res.estimates_sdf is not None and prev.estimates_sdf is not None:
+                conv = converged_sdf(
+                    prev.estimates_sdf, res.estimates_sdf, group_by, aliases,
+                    value_threshold, group_threshold,
+                )
+            else:
+                conv = converged(
+                    prev.estimates, res.estimates, group_by, aliases,
+                    value_threshold, group_threshold,
+                )
+            if conv:
+                return res
         prev = res
     if prev is None:
         raise ValueError(

@@ -1,0 +1,464 @@
+"""Clause-level SQL parser for the approximate front door.
+
+The reference parses the full VerdictDB grammar with ANTLR
+(``parser/VerdictSQLParser.g4:417-449`` for the query-spec shape,
+``sqlreader/ExpressionGen.java:111-345`` for arbitrary expressions in
+aggregate arguments).  Spark-first re-expression: Catalyst is the
+expression engine — this module only needs CLAUSE structure (which
+table(s), which select items are aggregates, where/group/having/
+order/limit text) and hands every expression string to ``F.expr``,
+where Spark's own parser/analyzer does the real work.  Anything this
+parser cannot shape is not an error: the caller falls back to exact
+``spark.sql`` (the reference's pass-through contract,
+``SelectQueryCoordinator.java:118-171``).
+
+No regexes over whole statements: a character scan masks string
+literals / quoted identifiers / parenthesized subexpressions so
+top-level keywords (FROM, WHERE, GROUP BY, HAVING, ORDER BY, LIMIT,
+JOIN, ON, AND) are located structurally.  This is what fixes the
+round-2 crash where a lazy regex swallowed ``ORDER BY`` into the
+GROUP BY list.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+AGG_FUNCS = ("sum", "count", "avg", "min", "max", "approx_count_distinct")
+
+
+class Unsupported(Exception):
+    """Statement shape outside the rewritable surface — callers fall
+    back to exact ``spark.sql`` (never user-visible)."""
+
+
+# ------------------------------------------------------------- scanning
+def _mask(s: str, keep_depth0_only: bool = True) -> str:
+    """Same-length string with string literals / quoted identifiers
+    blanked and (optionally) every character at paren depth > 0
+    blanked — so keyword regexes only ever match top-level SQL
+    structure.  Parens themselves survive so balance checks still
+    work."""
+    out = []
+    depth = 0
+    in_str: str | None = None
+    for ch in s:
+        if in_str is not None:
+            if ch == in_str:
+                in_str = None
+            out.append(" ")
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+            out.append(" ")
+        elif ch == "(":
+            depth += 1
+            out.append("(")
+        elif ch == ")":
+            depth -= 1
+            out.append(")")
+        elif keep_depth0_only and depth > 0:
+            out.append(" ")
+        else:
+            out.append(ch)
+    if in_str is not None or depth != 0:
+        raise Unsupported("unbalanced quotes or parentheses")
+    return "".join(out)
+
+
+def _split_top_level(s: str, sep_pattern: str = ",") -> list[str]:
+    """Split on a top-level separator (regex) — commas by default —
+    ignoring separators inside parens or strings."""
+    masked = _mask(s)
+    parts, last = [], 0
+    for m in re.finditer(sep_pattern, masked, re.IGNORECASE):
+        parts.append(s[last : m.start()].strip())
+        last = m.end()
+    parts.append(s[last:].strip())
+    return parts
+
+
+def norm_expr(t: str) -> str:
+    """Whitespace/case-insensitive expression identity for matching
+    HAVING/ORDER BY aggregate text against select-list aggregates."""
+    return re.sub(r"\s+", "", t).lower()
+
+
+# ----------------------------------------------------------- structures
+@dataclass
+class TableRef:
+    name: str  # as written (possibly schema-qualified)
+    alias: str  # alias if given, else the unqualified name
+
+
+@dataclass
+class JoinClause:
+    table: TableRef
+    pairs: list[tuple[str, str]]  # equi pairs (left_text, right_text), qualifiers stripped
+
+
+@dataclass
+class AggItem:
+    op: str  # sum|count|avg|min|max|countdistinct
+    expr: str | None  # inner expression text (None => count(*))
+    alias: str
+    distinct: bool = False
+    hidden: bool = False  # referenced only by HAVING/ORDER BY
+
+
+@dataclass
+class GroupItem:
+    expr: str  # expression text (qualifiers stripped)
+    alias: str  # output column name
+
+
+@dataclass
+class OrderItem:
+    expr: str  # alias of an agg item, or a group expression
+    desc: bool = False
+
+
+@dataclass
+class ParsedSelect:
+    tables: list[TableRef]
+    joins: list[JoinClause]  # joins[i] attaches tables[i+1]
+    select_order: list[str]  # output column names in select-list order
+    agg_items: list[AggItem] = field(default_factory=list)
+    group_items: list[GroupItem] = field(default_factory=list)
+    where: str | None = None
+    having: str | None = None  # agg calls already rewritten to aliases
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+
+
+# ------------------------------------------------------------- clauses
+_CLAUSE_RE = re.compile(
+    r"\b(FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b", re.IGNORECASE
+)
+_CANON = {"GROUP": "GROUP BY", "ORDER": "ORDER BY"}
+
+
+def _clauses(sql: str) -> dict[str, str]:
+    s = sql.strip().rstrip(";").strip()
+    if not re.match(r"^select\s", s, re.IGNORECASE):
+        raise Unsupported("not a SELECT statement")
+    masked = _mask(s)
+    found: list[tuple[str, int, int]] = []
+    for m in _CLAUSE_RE.finditer(masked):
+        kw = _CANON.get(m.group(1).split()[0].upper(), m.group(1).upper())
+        found.append((kw, m.start(), m.end()))
+    order = ["FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"]
+    seen_rank = -1
+    out: dict[str, str] = {}
+    bounds = found + [("<END>", len(s), len(s))]
+    # SELECT text runs to the first keyword
+    first = bounds[0][1]
+    out["SELECT"] = s[len("select") : first].strip()
+    for i, (kw, st, en) in enumerate(found):
+        rank = order.index(kw)
+        if rank <= seen_rank or kw in out:
+            raise Unsupported(f"clause {kw} out of order or repeated")
+        seen_rank = rank
+        out[kw] = s[en : bounds[i + 1][1]].strip()
+    if "FROM" not in out:
+        raise Unsupported("no FROM clause")
+    return out
+
+
+# ---------------------------------------------------------------- FROM
+_JOIN_RE = re.compile(
+    r"\b((?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?"
+    r"|FULL\s+(?:OUTER\s+)?|CROSS\s+|SEMI\s+|ANTI\s+)?JOIN)\b",
+    re.IGNORECASE,
+)
+
+
+def _parse_table_ref(text: str) -> TableRef:
+    text = text.strip()
+    if "(" in text:
+        raise Unsupported("subquery in FROM")
+    m = re.fullmatch(r"([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?", text, re.IGNORECASE)
+    if not m:
+        raise Unsupported(f"unparseable table reference {text!r}")
+    name, alias = m.group(1), m.group(2)
+    if alias and alias.upper() in ("ON", "JOIN", "WHERE"):
+        raise Unsupported("keyword where alias expected")
+    return TableRef(name=name, alias=alias or name.split(".")[-1])
+
+
+def _parse_on_pairs(cond: str) -> list[tuple[str, str]]:
+    """ON a.x = b.y [AND ...] — equi pairs only; anything else is
+    unsupported (the caller falls back to exact)."""
+    pairs = []
+    for piece in _split_top_level(cond, r"\bAND\b"):
+        m = re.fullmatch(r"\s*([\w\.]+)\s*=\s*([\w\.]+)\s*", piece)
+        if not m:
+            raise Unsupported(f"non-equi join condition {piece!r}")
+        pairs.append((m.group(1), m.group(2)))
+    return pairs
+
+
+def _parse_from(text: str) -> tuple[list[TableRef], list[JoinClause]]:
+    masked = _mask(text)
+    if "," in masked:
+        raise Unsupported("comma join")
+    hits = list(_JOIN_RE.finditer(masked))
+    first_seg = text[: hits[0].start()] if hits else text
+    tables = [_parse_table_ref(first_seg)]
+    joins: list[JoinClause] = []
+    for i, h in enumerate(hits):
+        if h.group(1).split()[0].upper() not in ("JOIN", "INNER"):
+            raise Unsupported("only INNER JOIN is rewritable")
+        seg_end = hits[i + 1].start() if i + 1 < len(hits) else len(text)
+        seg = text[h.end() : seg_end]
+        seg_masked = masked[h.end() : seg_end]
+        on = re.search(r"\bON\b", seg_masked, re.IGNORECASE)
+        if not on:
+            raise Unsupported("JOIN without ON")
+        tref = _parse_table_ref(seg[: on.start()])
+        pairs = _parse_on_pairs(seg[on.end() :])
+        tables.append(tref)
+        joins.append(JoinClause(table=tref, pairs=pairs))
+    return tables, joins
+
+
+# --------------------------------------------------------------- SELECT
+def _find_agg_call(expr: str) -> tuple[str, str, bool] | None:
+    """If ``expr`` is exactly one top-level aggregate call, return
+    (op, inner_text, distinct); else None."""
+    m = re.match(r"\s*(\w+)\s*\(", expr)
+    if not m or m.group(1).lower() not in AGG_FUNCS:
+        return None
+    # the matching close paren must end the expression
+    depth, start = 0, expr.index("(", m.end(1))
+    in_str: str | None = None
+    for i in range(start, len(expr)):
+        ch = expr[i]
+        if in_str is not None:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                if expr[i + 1 :].strip():
+                    return None  # e.g. sum(x) + 1 — composite expression
+                inner = expr[start + 1 : i]
+                break
+    else:
+        return None
+    op = m.group(1).lower()
+    dm = re.match(r"\s*DISTINCT\s+", inner, re.IGNORECASE)
+    distinct = dm is not None
+    if distinct:
+        inner = inner[dm.end() :]
+    return op, inner.strip(), distinct
+
+
+def _split_alias(item: str) -> tuple[str, str | None]:
+    masked = _mask(item)
+    m = re.search(r"\s+AS\s+(\w+)\s*$", masked, re.IGNORECASE)
+    if m:
+        return item[: m.start()].strip(), item[m.start() : m.end()].split()[-1]
+    return item.strip(), None
+
+
+def strip_qualifiers(text: str, aliases: list[str]) -> str:
+    """Drop ``alias.`` prefixes (column names must be unambiguous —
+    the executor checks ownership separately).  Spark would read
+    ``t.col`` as a struct-field access once the join has flattened
+    the schema."""
+    for a in sorted(set(aliases), key=len, reverse=True):
+        text = re.sub(rf"\b{re.escape(a)}\.(?=\w)", "", text)
+    return text
+
+
+def _contains_agg_call(masked_text: str) -> bool:
+    return bool(
+        re.search(rf"\b({'|'.join(AGG_FUNCS)})\s*\(", masked_text, re.IGNORECASE)
+    )
+
+
+# --------------------------------------------------------------- parse
+def parse_select(sql: str) -> ParsedSelect:
+    """Parse a rewritable aggregate SELECT.  Raises ``Unsupported``
+    for anything outside the shape — the caller treats that as the
+    exact-fallback signal, mirroring the reference's pass-through."""
+    cl = _clauses(sql)
+    if re.search(r"\bselect\b", (cl.get("WHERE") or ""), re.IGNORECASE):
+        raise Unsupported("subquery in WHERE")
+    if re.match(r"^\s*DISTINCT\b", cl["SELECT"], re.IGNORECASE):
+        raise Unsupported("SELECT DISTINCT")
+    tables, joins = _parse_from(cl["FROM"])
+    aliases = [t.alias for t in tables] + [t.name for t in tables]
+
+    # join pairs lose their qualifiers (ownership resolved by schema)
+    for j in joins:
+        j.pairs = [
+            (strip_qualifiers(l, aliases), strip_qualifiers(r, aliases))
+            for l, r in j.pairs
+        ]
+
+    group_items: list[GroupItem] = []
+    select_items = _split_top_level(cl["SELECT"])
+    raw_groups = (
+        _split_top_level(cl["GROUP BY"]) if "GROUP BY" in cl else []
+    )
+    # resolve GROUP BY ordinals against the select list
+    resolved_groups: list[str] = []
+    for g in raw_groups:
+        if re.fullmatch(r"\d+", g):
+            idx = int(g) - 1
+            if not (0 <= idx < len(select_items)):
+                raise Unsupported("GROUP BY ordinal out of range")
+            expr, _ = _split_alias(select_items[idx])
+            resolved_groups.append(expr)
+        else:
+            resolved_groups.append(g)
+
+    agg_items: list[AggItem] = []
+    select_order: list[str] = []
+    norm_groups = {norm_expr(strip_qualifiers(g, aliases)) for g in resolved_groups}
+    agg_by_norm: dict[str, AggItem] = {}
+    for item in select_items:
+        expr, alias = _split_alias(item)
+        agg = _find_agg_call(expr)
+        if agg is not None:
+            op, inner, distinct = agg
+            inner = strip_qualifiers(inner, aliases) if inner != "*" else inner
+            if op == "count" and inner == "*":
+                inner_arg = None
+            elif inner == "*":
+                raise Unsupported(f"{op}(*)")
+            else:
+                inner_arg = inner
+            if op == "count" and distinct:
+                op = "countdistinct"
+            elif op == "approx_count_distinct":
+                op = "countdistinct"
+            elif distinct:
+                # sum/avg/min/max DISTINCT: the scramble rewrite would be
+                # WRONG (duplicates across blocks) — exact fallback
+                raise Unsupported(f"{op}(DISTINCT ...) is not rewritable")
+            name = alias or re.sub(r"\W+", "_", f"{op}_{inner_arg or 'star'}").strip("_")
+            it = AggItem(op=op, expr=inner_arg, alias=name, distinct=distinct)
+            agg_items.append(it)
+            agg_by_norm[norm_expr(strip_qualifiers(expr, aliases))] = it
+            select_order.append(name)
+        else:
+            sexpr = strip_qualifiers(expr, aliases)
+            if norm_expr(sexpr) not in norm_groups:
+                raise Unsupported(
+                    f"non-aggregate select item {expr!r} not in GROUP BY"
+                )
+            name = alias or (sexpr if re.fullmatch(r"\w+", sexpr) else None)
+            gi = GroupItem(expr=sexpr, alias=name or f"_vdb_g{len(group_items)}")
+            group_items.append(gi)
+            select_order.append(gi.alias)
+    # GROUP BY columns not in the select list still shape the result;
+    # SQL semantics project them away, which the executor honors by
+    # grouping on them but excluding them from the output
+    norm_selected = {norm_expr(g.expr) for g in group_items}
+    for g in resolved_groups:
+        sg = strip_qualifiers(g, aliases)
+        if norm_expr(sg) not in norm_selected:
+            group_items.append(
+                GroupItem(expr=sg, alias=f"_vdb_gx{len(group_items)}")
+            )
+
+    def rewrite_aggs(text: str, where: str) -> str:
+        """Replace aggregate calls in HAVING/ORDER BY text with select
+        aliases, adding hidden aggregates for calls not selected."""
+        out, pos = [], 0
+        for m in re.finditer(
+            rf"\b({'|'.join(AGG_FUNCS)})\s*\(", text, re.IGNORECASE
+        ):
+            if m.start() < pos:
+                continue
+            # find matching close paren
+            depth, i = 0, m.end() - 1
+            in_str: str | None = None
+            while i < len(text):
+                ch = text[i]
+                if in_str is not None:
+                    if ch == in_str:
+                        in_str = None
+                elif ch in ("'", '"', "`"):
+                    in_str = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            call = text[m.start() : i + 1]
+            parsed = _find_agg_call(strip_qualifiers(call, aliases))
+            if parsed is None:
+                raise Unsupported(f"unparseable aggregate in {where}: {call!r}")
+            key = norm_expr(strip_qualifiers(call, aliases))
+            it = agg_by_norm.get(key)
+            if it is None:
+                op, inner, distinct = parsed
+                if distinct and op not in ("count", "approx_count_distinct"):
+                    raise Unsupported(f"{op}(DISTINCT ...) in {where}")
+                if op == "count" and distinct:
+                    op = "countdistinct"
+                elif op == "approx_count_distinct":
+                    op = "countdistinct"
+                it = AggItem(
+                    op=op,
+                    expr=None if (op == "count" and inner == "*") else inner,
+                    alias=f"_vdb_h{len(agg_items)}",
+                    hidden=True,
+                )
+                agg_items.append(it)
+                agg_by_norm[key] = it
+            out.append(text[pos : m.start()])
+            out.append(it.alias)
+            pos = i + 1
+        out.append(text[pos:])
+        return "".join(out)
+
+    having = None
+    if "HAVING" in cl:
+        having = rewrite_aggs(strip_qualifiers(cl["HAVING"], aliases), "HAVING")
+
+    order_by: list[OrderItem] = []
+    if "ORDER BY" in cl:
+        for piece in _split_top_level(cl["ORDER BY"]):
+            m = re.search(r"\s+(ASC|DESC)\s*$", piece, re.IGNORECASE)
+            desc = bool(m and m.group(1).upper() == "DESC")
+            expr = piece[: m.start()] if m else piece
+            expr = rewrite_aggs(strip_qualifiers(expr.strip(), aliases), "ORDER BY")
+            # map group expressions to their output aliases
+            for gi in group_items:
+                if norm_expr(expr) == norm_expr(gi.expr):
+                    expr = gi.alias
+                    break
+            order_by.append(OrderItem(expr=expr, desc=desc))
+
+    if not agg_items:
+        # (checked after HAVING/ORDER BY, which may add hidden aggs)
+        raise Unsupported("no aggregates — nothing to approximate")
+
+    limit = None
+    if "LIMIT" in cl:
+        if not re.fullmatch(r"\d+", cl["LIMIT"].strip()):
+            raise Unsupported(f"unparseable LIMIT {cl['LIMIT']!r}")
+        limit = int(cl["LIMIT"].strip())
+
+    return ParsedSelect(
+        tables=tables,
+        joins=joins,
+        select_order=select_order,
+        agg_items=agg_items,
+        group_items=group_items,
+        where=strip_qualifiers(cl["WHERE"], aliases) if "WHERE" in cl else None,
+        having=having,
+        order_by=order_by,
+        limit=limit,
+    )
