@@ -179,7 +179,10 @@ def minhash_signatures(
 
 
 def _bucket_pairs(
-    keyed: DataFrame, bucket_cols: list[str], hot_bucket_cap: int
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    hot_bucket_cap: int,
+    warn_op: str | None = None,
 ) -> DataFrame:
     """Shared candidate-pair kernel: all-pairs within small buckets,
     star (min-id representative -> member) within hot buckets.
@@ -193,10 +196,31 @@ def _bucket_pairs(
     buckets are dominated by identical/near-identical docs, and the
     representative links preserve the clusters.  Returns (id_a, id_b)
     with id_a < id_b, deduplicated.
+
+    PAIR-RECALL CONTRACT: when a bucket exceeds ``hot_bucket_cap``,
+    only representative->member edges leave it — downstream
+    CLUSTERING (connected components) is unaffected, but consumers of
+    the raw PAIR LIST see member-member near-dup pairs suppressed
+    above the cap.  Pair-returning operators pass ``warn_op`` so a
+    fired cap emits a RuntimeWarning (one tiny agg job on the bucket
+    statistics) instead of silently under-reporting.
     """
     stats = keyed.groupBy(*bucket_cols).agg(
         F.count(F.lit(1)).alias("_bn"), F.min("_id").alias("_rep")
     )
+    if warn_op is not None:
+        n_hot = stats.where(F.col("_bn") > hot_bucket_cap).count()
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"{warn_op}: {n_hot} bucket(s) exceeded hot_bucket_cap="
+                f"{hot_bucket_cap}; member-member pairs inside them are "
+                "linked through a representative only, so the returned "
+                "pair list under-reports mutually-similar members "
+                "(clustering via connected_components is unaffected)",
+                RuntimeWarning,
+            )
     tagged = keyed.join(stats, bucket_cols)
     small = tagged.where(F.col("_bn") <= hot_bucket_cap).select("_id", *bucket_cols)
     a, b = small.alias("a"), small.alias("b")
@@ -254,7 +278,9 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
-    pairs = _bucket_pairs(banded, ["band", "bh"], hot_bucket_cap)
+    pairs = _bucket_pairs(
+        banded, ["band", "bh"], hot_bucket_cap, warn_op="lsh_candidate_pairs"
+    )
     # attach signatures once per deduped pair to estimate jaccard
     sa = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -305,10 +331,20 @@ def dedup_minhash(
     bands: int = 32,
     shingle: int = 5,
     mode: str = "word",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate removal: keep one representative (min id) per
-    connected cluster of pairs with est_jaccard >= threshold."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle, mode)
+    connected cluster of pairs with est_jaccard >= threshold.
+
+    ``signatures``: pre-computed ``minhash_signatures`` output for the
+    same (df, num_hashes, shingle, mode) — pass it when a pipeline
+    also runs LSH/Jaccard stages so the signature build (the dominant
+    cost) happens once."""
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, num_hashes, shingle, mode)
+    )
     pairs = lsh_candidate_pairs(
         sig, id_col, bands, min_est_jaccard=threshold, num_hashes=num_hashes
     )
@@ -420,7 +456,9 @@ def simhash_near_duplicates(
             ])
         ).alias("cc"),
     ).select("_id", "cc.chunk", "cc.key")
-    pairs = _bucket_pairs(banded, ["chunk", "key"], hot_bucket_cap)
+    pairs = _bucket_pairs(
+        banded, ["chunk", "key"], hot_bucket_cap, warn_op="simhash_near_duplicates"
+    )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sha"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_shb"))
     return (

@@ -316,7 +316,9 @@ def embedding_near_duplicates(
     banded = sigged.select(
         "_id", F.posexplode("_sig").alias("band", "key")
     )
-    pairs = _bucket_pairs(banded, ["band", "key"], hot_bucket_cap)
+    pairs = _bucket_pairs(
+        banded, ["band", "key"], hot_bucket_cap, warn_op="embedding_near_duplicates"
+    )
     # exact-cosine verification of candidates only
     va = sigged.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     vb = sigged.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))

@@ -50,6 +50,14 @@ class ScrambleMeta:
     # cdf[tier][k] = P(row of tier t lands in blocks 0..k); uniform blocks
     # => cdf[t][k] = (k+1)/nblocks for both methods.
     cdf: dict[int, list[float]] = field(default_factory=dict)
+    # fastconverge tier statistics, persisted so APPEND can re-derive
+    # tiers for new rows exactly as create did (the reference stores
+    # them in the metastore and reuses them on append,
+    # ScramblingCoordinator.appendScramble:212-285): mu/sd of the
+    # outlier column, the large-group list (<= 1/threshold entries by
+    # construction — ~100 at the 1% default, bounded at any scale),
+    # and the column order feeding the row hash.
+    fc_stats: dict | None = None
 
     def __post_init__(self):
         if not self.cdf:
@@ -77,6 +85,7 @@ class ScrambleMeta:
                 "seed": self.seed,
                 "original_count": self.original_count,
                 "cdf": {str(t): c for t, c in self.cdf.items()},
+                "fc_stats": self.fc_stats,
             }
         )
 
@@ -90,6 +99,7 @@ class ScrambleMeta:
             seed=d.get("seed", 42),
             original_count=d.get("original_count"),
             cdf={int(t): c for t, c in d["cdf"].items()},
+            fc_stats=d.get("fc_stats"),
         )
 
 
@@ -277,6 +287,7 @@ def create_fastconverge_scramble(
         if sd > 0
         else F.lit(False)
     )
+    large_groups: list | None = None
     if group_column is not None:
         large = (
             df.groupBy(group_column)
@@ -284,6 +295,9 @@ def create_fastconverge_scramble(
             .where(F.col("count") >= large_group_threshold * cnt)
             .select(group_column)
         )
+        # <= 1/threshold groups by construction (~100 at the 1%
+        # default) — safe to persist for append at any table size
+        large_groups = [r[0] for r in large.collect()]
         in_small = F.col("_lg").isNull()
         # null-safe join: a large NULL group is still a large group
         # (plain equi-join never matches NULL keys -> tier-1 flooding)
@@ -311,7 +325,15 @@ def create_fastconverge_scramble(
     if group_column is not None:
         out = out.drop("_lg")
     meta = ScrambleMeta(
-        method="fastconverge", nblocks=n, seed=seed, original_count=cnt, cdf=cdf
+        method="fastconverge", nblocks=n, seed=seed, original_count=cnt, cdf=cdf,
+        fc_stats={
+            "mu": mu,
+            "sd": sd,
+            "outlier_column": outlier_column,
+            "group_column": group_column,
+            "large_groups": large_groups,
+            "columns": list(df.columns),
+        },
     )
     return out, meta
 
@@ -323,12 +345,50 @@ def append_scramble(
     reference's scramble append (``ScramblingCoordinator.
     appendScramble:212-285``) reuses the stored CDF so old and new
     blocks stay statistically compatible; with deterministic hashes
-    the transform is identical by construction."""
+    the transform is identical by construction.
+
+    Fastconverge appends re-derive tiers from the PERSISTED stats
+    (mu/sd of the outlier column, the large-group list) — new rows
+    are striped across blocks by the stored per-tier CDFs, exactly
+    as the reference reuses its stored scramble metadata."""
+    if meta.method == "fastconverge":
+        st = meta.fc_stats
+        if not st:
+            raise ValueError(
+                "fastconverge scramble has no persisted tier stats "
+                "(created before append support) — rebuild the scramble"
+            )
+        mu, sd = float(st["mu"]), float(st["sd"])
+        is_outlier = (
+            F.abs(F.col(st["outlier_column"]) - F.lit(mu)) > F.lit(3.09 * sd)
+            if sd > 0
+            else F.lit(False)
+        )
+        gc = st.get("group_column")
+        if gc is not None:
+            lgs = st.get("large_groups") or []
+            nonnull = [v for v in lgs if v is not None]
+            in_large = F.col(gc).isin(nonnull) if nonnull else F.lit(False)
+            if any(v is None for v in lgs):
+                in_large = in_large | F.col(gc).isNull()
+            in_small = ~in_large
+        else:
+            in_small = F.lit(False)
+        tier = F.when(is_outlier, 0).when(in_small, 1).otherwise(2)
+        unit = _unit_expr(st.get("columns") or new_rows.columns, meta.seed)
+        out = new_rows.withColumn(TIER_COL, tier.cast("int"))
+        block = (
+            F.when(F.col(TIER_COL) == 0, _block_from_cdf(unit, meta.cdf[0], meta.nblocks))
+            .when(F.col(TIER_COL) == 1, _block_from_cdf(unit, meta.cdf[1], meta.nblocks))
+            .otherwise(_block_from_cdf(unit, meta.cdf[2], meta.nblocks))
+            .cast("int")
+        )
+        return out.withColumn(BLOCK_COL, block)
+    if meta.method not in ("uniform", "hash"):
+        raise ValueError(f"append not supported for method {meta.method!r}")
     # virtual block universe m (> nblocks for partial-size scrambles)
     # is recoverable from the stored CDF: P(block 0) = 1/m
     m = int(round(1.0 / meta.cdf[0][0]))
-    if meta.method not in ("uniform", "hash"):
-        raise ValueError(f"append not supported for method {meta.method!r}")
     block = _block_expr(
         meta.method, new_rows.columns, meta.seed, m, hash_column=meta.hash_column
     )

@@ -14,12 +14,16 @@ table with atomic swap gives exactly that.
 
 Exactly-once bookkeeping: ``foreachBatch`` is only at-least-once (a
 batch whose merge finished but whose offset commit did not is
-REPLAYED on restart), so the state dir records the last merged
-batch_id (``_BATCH``) — replays of already-merged batches are skipped,
-which matters for the additive sketches (CMS) where a double merge
-double-counts.  The swap writes ``_next`` -> renames ``current`` to
-``_prev`` -> renames ``_next`` in; a crash between the renames is
-healed on the next call by restoring ``_prev``.
+REPLAYED on restart), so the last merged batch_id travels INSIDE the
+state directory itself (``current/_VDB_BATCH``, written into the
+staged ``_next`` before the swap rename) — state and marker commit
+with the same atomic rename, so there is no window where the merge
+is durable but the marker is not (a separate marker file would
+double-merge the additive sketches (CMS) on a crash between merge
+and marker write).  The swap writes ``_next`` -> renames ``current``
+to ``_prev`` -> renames ``_next`` in; a crash between the renames is
+healed on the next call by restoring ``_prev`` (whose embedded
+marker correctly re-admits the interrupted batch).
 """
 
 from __future__ import annotations
@@ -34,12 +38,29 @@ from pyspark.sql import functions as F
 from ..operators.approx_agg import GROUP_ALL, build_partials, tree_merge
 
 
+MARKER = "_VDB_BATCH"  # underscore prefix: invisible to parquet listing
+
+
+def _read_marker(state_path: str) -> int:
+    """Last merged batch id, or -1.  Reads the in-state marker; falls
+    back to the legacy side-file for pre-existing state dirs."""
+    for p in (
+        os.path.join(state_path, "current", MARKER),
+        os.path.join(state_path, "_BATCH"),
+    ):
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip() or -1)
+    return -1
+
+
 def _merge_into_state(
     batch_df: DataFrame,
     sketch: Any,
     value: str,
     group_by: Sequence[str],
     state_path: str,
+    batch_id: int = -1,
 ) -> None:
     spark = batch_df.sparkSession
     new_partials = build_partials(batch_df, sketch, value, group_by)
@@ -63,6 +84,10 @@ def _merge_into_state(
     merged = tree_merge(allp, sketch, group_by)
     tmp = os.path.join(state_path, "_next")
     merged.write.mode("overwrite").parquet(tmp)
+    # stage the batch marker INSIDE the new state dir: the swap rename
+    # below commits state + marker atomically (no double-merge window)
+    with open(os.path.join(tmp, MARKER), "w") as f:
+        f.write(str(batch_id))
     # swap via posix renames (object stores would version instead); the
     # crash window between the renames is healed by the _prev restore
     # above, and _prev is only deleted AFTER current exists again
@@ -96,21 +121,19 @@ def incremental_sketch_sink(
     """
     os.makedirs(state_path, exist_ok=True)
 
-    batch_marker = os.path.join(state_path, "_BATCH")
-
     def for_each(batch_df: DataFrame, batch_id: int) -> None:
-        # at-least-once guard: skip batches already merged (a crash
-        # after the merge but before the offset commit replays them)
-        if os.path.exists(batch_marker):
-            with open(batch_marker) as f:
-                if batch_id <= int(f.read().strip() or -1):
-                    return
+        # exactly-once guard: skip batches already merged (a crash
+        # after the merge but before the offset commit replays them);
+        # the marker is committed atomically WITH the merged state, so
+        # "marker says merged" implies "state holds the merge".  An
+        # empty batch merges nothing, so replaying it is a no-op and
+        # needs no marker advance.
+        if batch_id <= _read_marker(state_path):
+            return
         if not batch_df.isEmpty():
-            _merge_into_state(batch_df, sketch, value, group_by, state_path)
-        tmp_marker = batch_marker + ".tmp"
-        with open(tmp_marker, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp_marker, batch_marker)
+            _merge_into_state(
+                batch_df, sketch, value, group_by, state_path, batch_id=batch_id
+            )
 
     writer = stream_df.writeStream.foreachBatch(for_each).option(
         "checkpointLocation", checkpoint_path or os.path.join(state_path, "_chk")

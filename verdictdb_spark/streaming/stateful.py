@@ -106,8 +106,16 @@ def sessionize_stream(
                     start_ms = t
                 last_ms, n, sv = t, n + 1, sv + float(v)
             state.update((start_ms, last_ms, n, sv))
-            # evict once the watermark passes last_event + gap
-            state.setTimeoutTimestamp(last_ms + gap_ms)
+            # evict once the watermark passes last_event + gap; a batch
+            # of late-but-admissible events can put last+gap at or below
+            # the current watermark, which Spark rejects — clamp just
+            # past the watermark so the session closes on the next tick
+            timeout = last_ms + gap_ms
+            try:
+                wm = state.getCurrentWatermarkMs()
+            except Exception:
+                wm = 0
+            state.setTimeoutTimestamp(max(timeout, wm + 1))
         if closed:
             out = pd.DataFrame(
                 closed,
