@@ -93,3 +93,38 @@ def test_sketch_path_shuffles_only_states(spark, sf_dir):
     assert "Exchange" not in below, f"raw-row shuffle detected:\n{plan}"
     exchanges = [i for i, l in enumerate(lines) if "Exchange" in l]
     assert exchanges and all(i < build_line for i in exchanges)
+
+
+def test_spark_engine_estimator_all_jvm(spark, sf_dir, tmp_path):
+    """The high-cardinality estimate path (partials -> H-T totals +
+    closed-form errors) must be pure JVM aggregation: no Python eval
+    anywhere, and the per-iteration partial scan of a written scramble
+    stays partition-pruned."""
+    from verdictdb_spark.sampling import (
+        AggSpec,
+        create_scramble,
+        load_scramble,
+        write_scramble,
+    )
+    from verdictdb_spark.sampling.progressive import (
+        _estimate_spark,
+        _partial_exprs,
+    )
+    from verdictdb_spark.sampling.scramble import BLOCK_COL, TIER_COL
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(4000)
+    s, m = create_scramble(li, method="uniform", nblocks=4, seed=7)
+    p = str(tmp_path / "s")
+    write_scramble(s, m, p)
+    d, m = load_scramble(spark, p)
+    aggs = [AggSpec("sum", "l_quantity", "sq"), AggSpec("count", None, "c")]
+    partials = (
+        d.where(F.col(BLOCK_COL).between(0, 1))
+        .groupBy("l_orderkey", TIER_COL, BLOCK_COL)
+        .agg(*_partial_exprs(aggs))
+    )
+    est = _estimate_spark(partials, aggs, ["l_orderkey"], m, 1)
+    plan = _plan(est)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "HashAggregate" in plan
+    assert "PartitionFilters: [" in plan  # block-prefix scan pruned

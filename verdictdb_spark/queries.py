@@ -887,6 +887,27 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def sql_countdistinct_front_door(spark, sf_dir):
+    """``count(DISTINCT l_orderkey)`` as SQL text: the front door must
+    route it to the progressive plan ONLY because the registered
+    scramble is a hash scramble on that exact column (the reference's
+    scramble-correctness gate,
+    SelectQueryCoordinator.ensureScrambleCorrectness:189-238).  Full
+    coverage of the hash universe == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir, "cd")
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="hash", column="l_orderkey", nblocks=8)
+    out = ctx.sql(
+        "SELECT count(DISTINCT l_orderkey) AS ndv FROM lineitem",
+        early_stop=False,
+    )
+    return out.select(F.round("ndv").cast("long").alias("ndv"))
+
+
+SQL_CD_SQL = "SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv FROM lineitem"
+
+
 def approx_highcard_groupby(spark, sf_dir):
     """GROUP BY l_orderkey over the scramble with the SPARK estimate
     engine: partials, Horvitz-Thompson totals and subsample errors all
@@ -1239,6 +1260,7 @@ def queries() -> dict[str, Query]:
         "approx_sql_front_door": approx_sql_front_door,
         "sql_q1_front_door": sql_q1_front_door,
         "sql_join_front_door": sql_join_front_door,
+        "sql_countdistinct_front_door": sql_countdistinct_front_door,
         "approx_highcard_groupby": approx_highcard_groupby,
         "approx_early_stop": approx_early_stop,
         "bloom_semi_join_count": bloom_semi_join_count,
@@ -1278,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_sql_front_door": FRONT_DOOR_SQL,
         "sql_q1_front_door": SQL_Q1_SQL,
         "sql_join_front_door": SQL_JOIN_SQL,
+        "sql_countdistinct_front_door": SQL_CD_SQL,
         "approx_highcard_groupby": HIGHCARD_SQL,
         "bloom_semi_join_count": BLOOM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
