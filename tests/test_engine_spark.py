@@ -185,3 +185,104 @@ def test_spark_engine_errors_match_driver_scalar(lineitem):
     for col in d.columns:
         dv, sv = float(d[col].iloc[0]), float(s[col].iloc[0])
         assert (np.isnan(dv) and np.isnan(sv)) or dv == pytest.approx(sv, rel=1e-9), col
+
+
+def test_auto_switch_nullable_int_group(spark):
+    """Review regression: the auto driver->Spark switch must survive a
+    NULL-bearing bigint group column (the pandas round-trip coerced it
+    to float64 and crashed createDataFrame; the switch now re-aggregates
+    the covered prefix Spark-side)."""
+    n = 60_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 100 != 0, F.col("id") % 20_000).alias("g"),
+        F.lit(1.0).alias("v"),
+    )
+    sdf, meta = create_scramble(df, method="uniform", nblocks=4, seed=3, nrows=n)
+    res = approx_agg(
+        sdf, meta, [AggSpec("count", None, "c")], ["g"],
+        early_stop=False, engine="auto", engine_threshold=1000,
+    )
+    assert res.is_exact
+    assert res.estimates_sdf is not None
+    exact = df.select("g").distinct().count()
+    assert res.estimates_sdf.count() == exact
+
+
+def test_join_spark_engine_matches_driver(lineitem, spark, sf_dir):
+    """Scramble-join estimator parity: Spark engine == driver engine
+    (values and error bars) at full block-plane coverage."""
+    from verdictdb_spark.sampling import approx_join_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s1, m1 = create_scramble(lineitem, method="uniform", nblocks=4, seed=7)
+    s2, m2 = create_scramble(orders, method="uniform", nblocks=2, seed=13)
+    outs = {}
+    for engine in ("driver", "spark"):
+        res = approx_join_agg(
+            s1, m1, s2, m2, [("l_orderkey", "o_orderkey")],
+            [AggSpec("sum", "l_quantity", "s"), AggSpec("count", None, "c"),
+             AggSpec("avg", "l_extendedprice", "a")],
+            ["o_orderpriority"], early_stop=False, engine=engine,
+        )
+        assert res.is_exact
+        outs[engine] = (
+            res.estimates.sort_values("o_orderpriority").reset_index(drop=True)
+        )
+    d, s = outs["driver"], outs["spark"]
+    assert sorted(d.columns) == sorted(s.columns)
+    for col in d.columns:
+        if col == "o_orderpriority":
+            assert list(d[col]) == list(s[col])
+        else:
+            assert d[col].to_numpy() == pytest.approx(
+                s[col].to_numpy(), rel=1e-9, nan_ok=True
+            ), col
+
+
+def test_multi_join_spark_engine_exact(lineitem, spark, sf_dir):
+    from verdictdb_spark.sampling import approx_multi_join_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s1 = create_scramble(lineitem, method="uniform", nblocks=4, seed=7)
+    s2 = create_scramble(orders, method="uniform", nblocks=2, seed=13)
+    s3 = create_scramble(cust, method="uniform", nblocks=2, seed=29)
+    res = approx_multi_join_agg(
+        [s1, s2, s3],
+        [[("l_orderkey", "o_orderkey")], [("o_custkey", "c_custkey")]],
+        [AggSpec("sum", "l_quantity", "s"), AggSpec("count", None, "c")],
+        ["c_mktsegment"], early_stop=False, engine="spark",
+    )
+    assert res.is_exact
+    exact = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .toPandas().set_index("c_mktsegment")
+    )
+    got = res.estimates.set_index("c_mktsegment")
+    assert set(got.index) == set(exact.index)
+    for k in exact.index:
+        assert got.loc[k, "s"] == pytest.approx(exact.loc[k, "s"], rel=1e-9)
+        assert got.loc[k, "c"] == pytest.approx(exact.loc[k, "c"], rel=1e-9)
+
+
+def test_join_auto_switch(lineitem, spark, sf_dir):
+    """auto engine switches mid-join-progression and stays exact."""
+    from verdictdb_spark.sampling import approx_join_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s1, m1 = create_scramble(lineitem, method="uniform", nblocks=4, seed=7)
+    s2, m2 = create_scramble(orders, method="uniform", nblocks=2, seed=13)
+    res = approx_join_agg(
+        s1, m1, s2, m2, [("l_orderkey", "o_orderkey")],
+        [AggSpec("count", None, "c")], ["l_orderkey"],
+        early_stop=False, engine="auto", engine_threshold=200,
+    )
+    assert res.is_exact and res.estimates_sdf is not None
+    exact = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey").distinct().count()
+    )
+    assert res.estimates_sdf.count() == exact

@@ -140,3 +140,24 @@ def test_incremental_marker_committed_with_state(spark, tmp_path):
     assert os.path.exists(os.path.join(state, "current", MARKER))
     # replaying batch 0 through the guard logic: marker says merged
     assert 0 <= _read_marker(state)
+
+
+def test_fastconverge_append_null_groups(spark):
+    """Review regression: NULL-group rows must land in the SAME tier on
+    append as on create (tier 1 when the NULL group is small)."""
+    from verdictdb_spark.sampling.scramble import TIER_COL
+
+    df = spark.range(5000).select(
+        F.col("id").cast("double").alias("x"),
+        F.when(F.col("id") % 50 == 0, None).otherwise(
+            (F.col("id") % 3).cast("string")
+        ).alias("g"),
+    )
+    sdf, meta = create_fastconverge_scramble(
+        df, outlier_column="x", group_column="g", nblocks=4, seed=7
+    )
+    re_assigned = append_scramble(df, meta)
+    null_create = sdf.where(F.col("g").isNull()).select(TIER_COL).distinct().collect()
+    null_append = re_assigned.where(F.col("g").isNull()).select(TIER_COL).distinct().collect()
+    assert {r[0] for r in null_create} == {r[0] for r in null_append}
+    assert sdf.select(re_assigned.columns).exceptAll(re_assigned).count() == 0

@@ -354,3 +354,48 @@ def test_sql_tpch_q1_text(ctx, spark, lineitem):
     pd.testing.assert_frame_equal(
         out, exact, check_exact=False, rtol=1e-9, check_dtype=False
     )
+
+
+# ------------------------------------------------ review-pass regressions
+def test_strip_qualifiers_never_rewrites_string_literals():
+    from verdictdb_spark.sqlparse import strip_qualifiers
+
+    out = strip_qualifiers("c_note = 'c.o.d. only'", ["c", "o"])
+    assert out == "c_note = 'c.o.d. only'"
+    out2 = strip_qualifiers("o.o_comment LIKE '%o.k%'", ["o"])
+    assert out2 == "o_comment LIKE '%o.k%'"
+
+
+def test_order_by_ordinal_resolved():
+    p = parse_select(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY 2 DESC LIMIT 5"
+    )
+    assert p.order_by[0].expr == "s" and p.order_by[0].desc
+    with pytest.raises(Unsupported):
+        parse_select("SELECT g, count(*) AS c FROM t GROUP BY g ORDER BY 9")
+
+
+def test_sql_order_by_ordinal_executes(ctx, lineitem):
+    out = ctx.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY 2 DESC LIMIT 1",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(1)
+        .toPandas()
+    )
+    assert out["l_returnflag"].iloc[0] == exact["l_returnflag"].iloc[0]
+
+
+def test_sql_string_literal_containing_alias_dot(ctx, lineitem):
+    """A constant containing '<alias>.' must survive the rewrite."""
+    out = ctx.sql(
+        "SELECT count(*) AS c FROM lineitem l WHERE l.l_returnflag <> 'l.x'",
+        early_stop=False,
+    ).first()["c"]
+    assert out == pytest.approx(lineitem.count())

@@ -209,6 +209,11 @@ def _bucket_pairs(
         F.count(F.lit(1)).alias("_bn"), F.min("_id").alias("_rep")
     )
     if warn_op is not None:
+        # materialize the (small) bucket-stats frame once: the warning
+        # count and the tagging join below both read the checkpoint, so
+        # the upstream signature/banding pipeline is not re-evaluated
+        # for the warning probe
+        stats = stats.localCheckpoint(eager=True)
         n_hot = stats.where(F.col("_bn") > hot_bucket_cap).count()
         if n_hot:
             import warnings

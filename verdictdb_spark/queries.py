@@ -975,7 +975,9 @@ def _dup_docs(spark, sf_dir: str) -> DataFrame:
 
 
 def _dup_signatures(spark, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a recycled object id from
+    # a stopped session must never resurrect its dead checkpointed RDDs
+    key = (spark.sparkContext.applicationId, sf_dir)
     sig = _SIG_CACHE.get(key)
     if sig is None:
         from .operators.dedup import minhash_signatures
@@ -1008,8 +1010,10 @@ def simhash_pairs_documents(spark, sf_dir):
     hamming verify), restricted to the PLANTED duplicate pairs so the
     result is deterministic and oracle-checkable: identical text =>
     identical simhash => guaranteed bucket collision and hamming 0
-    (LSH recall is exactly 1 for identical fingerprints).  The
-    unrestricted pair surface stays pytest-covered."""
+    (LSH recall is exactly 1 for identical fingerprints PROVIDED no
+    bucket exceeds hot_bucket_cap — far above this corpus's bucket
+    sizes; a fired cap would emit ``_bucket_pairs``' RuntimeWarning).
+    The unrestricted pair surface stays pytest-covered."""
     _prep(spark)
     from .operators.dedup import simhash_near_duplicates
 
@@ -1032,7 +1036,8 @@ def ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard verification of LSH candidates.  On the
     planted-exact-duplicate corpus the >= 0.999 survivors are exactly
     the planted pairs: identical signatures collide in every band
-    (recall 1), distinct synthetic docs never reach Jaccard 0.999 —
+    (recall 1 while buckets stay under hot_bucket_cap — a fired cap
+    warns), distinct synthetic docs never reach Jaccard 0.999 —
     deterministic, so an exact oracle applies (round-2 verdict
     item #9).  Reuses the shared signature fixture."""
     _prep(spark)

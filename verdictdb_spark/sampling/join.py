@@ -44,8 +44,10 @@ from .progressive import (
     AggSpec,
     ProgressiveResult,
     _estimate,
+    _estimate_spark,
     _partial_exprs,
     converged,
+    converged_sdf,
 )
 from .scramble import BLOCK_COL, TIER_COL, ScrambleMeta
 
@@ -146,18 +148,28 @@ def progressive_join_agg(
     aggs: Sequence[AggSpec],
     group_by: Sequence[str] = (),
     transform=None,
+    engine: str = "auto",
+    engine_threshold: int = 200_000,
 ) -> Iterator[ProgressiveResult]:
     """Yield progressively refined estimates over scramble1 ⋈ scramble2.
 
     ``on`` is a list of (left_col, right_col) equi-join pairs.  Each
     iteration doubles the covered square of the block plane and joins
-    only the L-shaped increment; partials accumulate driver-side (the
-    reference's in-memory combiner) keyed by (group, tier1, block1,
-    tier2), and the estimate applies the coverage-product scale.
+    only the L-shaped increment; partials accumulate keyed by (group,
+    tier1, block1, tier2) and the estimate applies the
+    coverage-product scale.
 
     ``transform(joined_df) -> DataFrame`` runs on each joined increment
     before aggregation (broadcast-dim joins, filters, derived columns)
     under the same row-local contract as ``progressive_agg``.
+
+    ``engine`` works as in ``progressive_agg``: ``"driver"`` keeps the
+    partial table in pandas (the reference's in-memory combiner);
+    ``"spark"`` (or ``"auto"`` past ``engine_threshold`` accumulated
+    partial rows) accumulates partials as a DataFrame — the composite
+    tier is computed JVM-side — and runs the shared Spark estimator,
+    so high-cardinality group-bys over scramble joins never build an
+    O(groups x blocks) driver frame.
     """
     group_by = list(group_by)
     aligned = is_aligned(meta1, meta2, on)
@@ -176,66 +188,108 @@ def progressive_join_agg(
     if aligned:
         cond = cond & (scramble1[BLOCK_COL] == s2[_BLOCK2])
 
-    def partials(lo1: int, hi1: int, lo2: int, hi2: int) -> list[pd.DataFrame]:
-        """Aggregate the L-shaped increment (new1 x all2) + (old1 x new2)."""
-        pieces = []
+    k2 = max(len(meta2.cdf), 1)
+
+    def slice_agg(a1: int, b1: int, a2: int, b2: int) -> DataFrame:
+        """Partial-aggregate one block rectangle; the composite tier
+        (t1 * k2 + t2, matching ``_JoinMeta.composite``) is computed
+        JVM-side so both estimate engines consume the same shape."""
+        left = scramble1.where(F.col(BLOCK_COL).between(a1, b1))
+        right = s2.where(F.col(_BLOCK2).between(a2, b2))
+        joined = left.join(right, cond)
+        if transform is not None:
+            joined = transform(joined)
+        return (
+            joined.groupBy(*group_by, TIER_COL, BLOCK_COL, _TIER2)
+            .agg(*partial_exprs)
+            .withColumn(TIER_COL, F.col(TIER_COL) * k2 + F.col(_TIER2))
+            .drop(_TIER2)
+        )
+
+    def increment_slices(lo1, hi1, lo2, hi2) -> list[tuple[int, int, int, int]]:
+        """The L-shaped increment (new1 x all2) + (old1 x new2)."""
+        if aligned:
+            # block1 == block2 for matches: the only populated cells of
+            # the increment are the new diagonal blocks
+            d = (max(lo1, lo2), min(hi1, hi2))
+            return [(d[0], d[1], d[0], d[1])] if d[0] <= d[1] else []
         slices = []
         if hi1 >= lo1:
             slices.append((lo1, hi1, 0, hi2))  # new blocks1 x full prefix2
         if hi2 >= lo2 and lo1 > 0:
             slices.append((0, lo1 - 1, lo2, hi2))  # old prefix1 x new blocks2
-        if aligned:
-            # block1 == block2 for matches: the only populated cells of
-            # the increment are the new diagonal blocks
-            slices = [(max(lo1, lo2), min(hi1, hi2), max(lo1, lo2), min(hi1, hi2))]
-            if slices[0][0] > slices[0][1]:
-                return []
-        for a1, b1, a2, b2 in slices:
-            left = scramble1.where(F.col(BLOCK_COL).between(a1, b1))
-            right = s2.where(F.col(_BLOCK2).between(a2, b2))
-            joined = left.join(right, cond)
-            if transform is not None:
-                joined = transform(joined)
-            pdf = (
-                joined.groupBy(*group_by, TIER_COL, BLOCK_COL, _TIER2)
-                .agg(*partial_exprs)
-                .toPandas()
-            )
-            if len(pdf):
-                pieces.append(pdf)
-        return pieces
+        return slices
 
     acc: list[pd.DataFrame] = []
+    total_rows = 0
+    acc_sdf: DataFrame | None = None
+    use_spark = engine == "spark"
     for it, (lo1, hi1, lo2, hi2) in enumerate(_spans(meta1.nblocks, meta2.nblocks)):
-        acc.extend(partials(lo1, hi1, lo2, hi2))
         cur_hi1, cur_hi2 = max(hi1, lo1 - 1), max(hi2, lo2 - 1)
-        if not acc:
-            continue
+        new_dfs = [slice_agg(*s) for s in increment_slices(lo1, hi1, lo2, hi2)]
+        if not use_spark:
+            for adf in new_dfs:
+                pdf = adf.toPandas()
+                if len(pdf):
+                    acc.append(pdf)
+                    total_rows += len(pdf)
+            if engine == "auto" and total_rows > engine_threshold:
+                # switch: re-aggregate the covered rectangle in ONE
+                # partition-pruned Spark job (cheap this early) rather
+                # than round-tripping pandas partials back up
+                use_spark = True
+                acc_sdf = slice_agg(0, cur_hi1, 0, cur_hi2).localCheckpoint(eager=True)
+                acc = []
+        else:
+            for adf in new_dfs:
+                acc_sdf = adf if acc_sdf is None else acc_sdf.unionByName(adf)
+            if acc_sdf is not None and new_dfs:
+                acc_sdf = acc_sdf.localCheckpoint(eager=True)
         jm = _JoinMeta(meta1, meta2, cur_hi2, aligned)
-        whole = pd.concat(acc, ignore_index=True)
-        whole = whole.assign(
-            **{
-                TIER_COL: [
-                    jm.composite(int(t1), int(t2))
-                    for t1, t2 in zip(whole[TIER_COL], whole[_TIER2])
-                ]
-            }
-        ).drop(columns=[_TIER2])
-        est = _estimate(whole, aggs, group_by, jm, cur_hi1)
         cov1 = meta1.coverage(cur_hi1, 0)
         cov2 = meta2.coverage(cur_hi2, 0)
         cov = cov1 if aligned else cov1 * cov2
-        yield ProgressiveResult(
-            estimates=est,
-            coverage=cov,
-            blocks_covered=(cur_hi1 + 1) + (cur_hi2 + 1),
-            iteration=it,
-            is_exact=(
-                cur_hi1 + 1 >= meta1.nblocks
-                and cur_hi2 + 1 >= meta2.nblocks
-                and cov >= 1.0 - 1e-9
-            ),
+        exact = (
+            cur_hi1 + 1 >= meta1.nblocks
+            and cur_hi2 + 1 >= meta2.nblocks
+            and cov >= 1.0 - 1e-9
         )
+        if use_spark:
+            if acc_sdf is None:
+                continue
+            yield ProgressiveResult(
+                estimates_sdf=_estimate_spark(acc_sdf, aggs, group_by, jm, cur_hi1),
+                coverage=cov,
+                blocks_covered=(cur_hi1 + 1) + (cur_hi2 + 1),
+                iteration=it,
+                is_exact=exact,
+            )
+        else:
+            if not acc:
+                continue
+            whole = pd.concat(acc, ignore_index=True)
+            est = _estimate(whole, aggs, group_by, jm, cur_hi1)
+            yield ProgressiveResult(
+                estimates=est,
+                coverage=cov,
+                blocks_covered=(cur_hi1 + 1) + (cur_hi2 + 1),
+                iteration=it,
+                is_exact=exact,
+            )
+
+
+def _converged_any(prev, res, group_by, aliases, vt, gt) -> bool:
+    """Engine-aware convergence: Spark-side when both snapshots are
+    Spark frames, pandas otherwise; the auto-engine transition
+    iteration never counts as converged (comparing would materialize
+    the big frame on the driver)."""
+    if res.estimates_sdf is not None and prev.estimates_sdf is not None:
+        return converged_sdf(
+            prev.estimates_sdf, res.estimates_sdf, group_by, aliases, vt, gt
+        )
+    if res.estimates_sdf is not None or prev.estimates_sdf is not None:
+        return False
+    return converged(prev.estimates, res.estimates, group_by, aliases, vt, gt)
 
 
 def approx_join_agg(
@@ -250,17 +304,19 @@ def approx_join_agg(
     group_threshold: float = 0.05,
     transform=None,
     early_stop: bool = True,
+    engine: str = "auto",
+    engine_threshold: int = 200_000,
 ) -> ProgressiveResult:
     """Run the join progression until the difference-based stop rule
     fires (or the block plane is fully covered)."""
     prev: ProgressiveResult | None = None
     aliases = [a.alias for a in aggs]
     for res in progressive_join_agg(
-        scramble1, meta1, scramble2, meta2, on, aggs, group_by, transform
+        scramble1, meta1, scramble2, meta2, on, aggs, group_by, transform,
+        engine=engine, engine_threshold=engine_threshold,
     ):
-        if early_stop and prev is not None and converged(
-            prev.estimates, res.estimates, group_by, aliases,
-            value_threshold, group_threshold,
+        if early_stop and prev is not None and _converged_any(
+            prev, res, group_by, aliases, value_threshold, group_threshold
         ):
             return res
         prev = res
@@ -357,6 +413,8 @@ def progressive_multi_join_agg(
     aggs: Sequence[AggSpec],
     group_by: Sequence[str] = (),
     transform=None,
+    engine: str = "auto",
+    engine_threshold: int = 200_000,
 ) -> Iterator[ProgressiveResult]:
     """Progressive aggregates over a CHAIN JOIN of N scrambles —
     scramble_1 ⋈ scramble_2 ⋈ ... ⋈ scramble_N, the d-dimensional
@@ -394,6 +452,8 @@ def progressive_multi_join_agg(
         tcols.append(tc)
         bcols.append(bc)
 
+    ks = [max(len(m.cdf), 1) for m in metas]
+
     def join_ranges(ranges: list[tuple[int, int]]) -> DataFrame:
         cur = dfs[0].where(F.col(BLOCK_COL).between(*ranges[0]))
         for j in range(1, n):
@@ -405,42 +465,77 @@ def progressive_multi_join_agg(
             cur = cur.join(right, cond)
         return cur
 
-    acc: list[pd.DataFrame] = []
-    for it, spans in enumerate(_multi_spans([m.nblocks for m in metas])):
-        for ranges in _slabs(spans):
-            joined = join_ranges(ranges)
-            if transform is not None:
-                joined = transform(joined)
-            pdf = (
-                joined.groupBy(*group_by, *tcols, BLOCK_COL)
-                .agg(*partial_exprs)
-                .toPandas()
-            )
-            if len(pdf):
-                acc.append(pdf)
-        cur_his = [max(hi, lo - 1) for lo, hi in spans]
-        if not acc:
-            continue
-        jm = _MultiJoinMeta(metas, cur_his[1:])
-        whole = pd.concat(acc, ignore_index=True)
-        comp = [
-            jm.composite(ts) for ts in zip(*[whole[tc] for tc in tcols])
-        ]
-        whole = whole.assign(**{TIER_COL: comp}).drop(
-            columns=[tc for tc in tcols if tc != TIER_COL]
+    def slab_agg(ranges: list[tuple[int, int]]) -> DataFrame:
+        """Partial-aggregate one hypercube slab with the mixed-radix
+        composite tier (matches ``_MultiJoinMeta.composite``) computed
+        JVM-side."""
+        joined = join_ranges(ranges)
+        if transform is not None:
+            joined = transform(joined)
+        agg_df = joined.groupBy(*group_by, *tcols, BLOCK_COL).agg(*partial_exprs)
+        comp = F.col(tcols[0])
+        for j in range(1, n):
+            comp = comp * ks[j] + F.col(tcols[j])
+        return agg_df.withColumn(TIER_COL, comp).drop(
+            *[tc for tc in tcols if tc != TIER_COL]
         )
-        est = _estimate(whole, aggs, group_by, jm, cur_his[0])
+
+    acc: list[pd.DataFrame] = []
+    total_rows = 0
+    acc_sdf: DataFrame | None = None
+    use_spark = engine == "spark"
+    for it, spans in enumerate(_multi_spans([m.nblocks for m in metas])):
+        cur_his = [max(hi, lo - 1) for lo, hi in spans]
+        new_dfs = [slab_agg(r) for r in _slabs(spans)]
+        if not use_spark:
+            for adf in new_dfs:
+                pdf = adf.toPandas()
+                if len(pdf):
+                    acc.append(pdf)
+                    total_rows += len(pdf)
+            if engine == "auto" and total_rows > engine_threshold:
+                # switch: one pruned re-aggregation of the covered
+                # hyper-rectangle replaces the collected partials
+                use_spark = True
+                acc_sdf = slab_agg([(0, h) for h in cur_his]).localCheckpoint(
+                    eager=True
+                )
+                acc = []
+        else:
+            for adf in new_dfs:
+                acc_sdf = adf if acc_sdf is None else acc_sdf.unionByName(adf)
+            if acc_sdf is not None and new_dfs:
+                acc_sdf = acc_sdf.localCheckpoint(eager=True)
+        jm = _MultiJoinMeta(metas, cur_his[1:])
         cov = 1.0
         for m, hi in zip(metas, cur_his):
             cov *= m.coverage(hi, 0)
-        yield ProgressiveResult(
-            estimates=est,
-            coverage=cov,
-            blocks_covered=sum(h + 1 for h in cur_his),
-            iteration=it,
-            is_exact=all(h + 1 >= m.nblocks for m, h in zip(metas, cur_his))
-            and cov >= 1.0 - 1e-9,
+        exact = (
+            all(h + 1 >= m.nblocks for m, h in zip(metas, cur_his))
+            and cov >= 1.0 - 1e-9
         )
+        if use_spark:
+            if acc_sdf is None:
+                continue
+            yield ProgressiveResult(
+                estimates_sdf=_estimate_spark(acc_sdf, aggs, group_by, jm, cur_his[0]),
+                coverage=cov,
+                blocks_covered=sum(h + 1 for h in cur_his),
+                iteration=it,
+                is_exact=exact,
+            )
+        else:
+            if not acc:
+                continue
+            whole = pd.concat(acc, ignore_index=True)
+            est = _estimate(whole, aggs, group_by, jm, cur_his[0])
+            yield ProgressiveResult(
+                estimates=est,
+                coverage=cov,
+                blocks_covered=sum(h + 1 for h in cur_his),
+                iteration=it,
+                is_exact=exact,
+            )
 
 
 def approx_multi_join_agg(
@@ -452,15 +547,19 @@ def approx_multi_join_agg(
     group_threshold: float = 0.05,
     transform=None,
     early_stop: bool = True,
+    engine: str = "auto",
+    engine_threshold: int = 200_000,
 ) -> ProgressiveResult:
     """Run the N-way chain-join progression with the difference-based
     early stop (or to full hypercube coverage)."""
     prev: ProgressiveResult | None = None
     aliases = [a.alias for a in aggs]
-    for res in progressive_multi_join_agg(scrambles, on, aggs, group_by, transform):
-        if early_stop and prev is not None and converged(
-            prev.estimates, res.estimates, group_by, aliases,
-            value_threshold, group_threshold,
+    for res in progressive_multi_join_agg(
+        scrambles, on, aggs, group_by, transform,
+        engine=engine, engine_threshold=engine_threshold,
+    ):
+        if early_stop and prev is not None and _converged_any(
+            prev, res, group_by, aliases, value_threshold, group_threshold
         ):
             return res
         prev = res

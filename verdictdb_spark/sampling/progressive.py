@@ -541,12 +541,21 @@ def progressive_agg(
                 acc.append(pdf)
                 total_rows += len(pdf)
             if engine == "auto" and total_rows > engine_threshold:
+                # switch to the Spark engine: RE-AGGREGATE the covered
+                # prefix in one partition-pruned Spark job rather than
+                # round-tripping the collected pandas partials back up
+                # (Arrow nullable-int -> float64 coercion would reject
+                # the original schema).  The switch fires early, so the
+                # prefix rescan is a small fraction of the table.
                 use_spark = True
-                if acc:
-                    whole = pd.concat(acc, ignore_index=True)
-                    acc_sdf = scramble.sparkSession.createDataFrame(
-                        whole, schema=agg_df.schema
-                    ).localCheckpoint(eager=True)
+                prefix = scramble.where(F.col(BLOCK_COL).between(0, hi))
+                if transform is not None:
+                    prefix = transform(prefix)
+                acc_sdf = (
+                    prefix.groupBy(*group_by, TIER_COL, BLOCK_COL)
+                    .agg(*partial_exprs)
+                    .localCheckpoint(eager=True)
+                )
                 acc = []
         else:
             nxt = agg_df if acc_sdf is None else acc_sdf.unionByName(agg_df)
@@ -643,6 +652,11 @@ def approx_agg(
                     prev.estimates_sdf, res.estimates_sdf, group_by, aliases,
                     value_threshold, group_threshold,
                 )
+            elif res.estimates_sdf is not None or prev.estimates_sdf is not None:
+                # auto-engine transition iteration: comparing would
+                # materialize the big Spark-side frame on the driver —
+                # treat as not-yet-converged and compare next round
+                conv = False
             else:
                 conv = converged(
                     prev.estimates, res.estimates, group_by, aliases,

@@ -371,7 +371,10 @@ def append_scramble(
             in_large = F.col(gc).isin(nonnull) if nonnull else F.lit(False)
             if any(v is None for v in lgs):
                 in_large = in_large | F.col(gc).isNull()
-            in_small = ~in_large
+            # NULL-safe: isin() is NULL (not False) for a NULL key, and
+            # ~NULL would drop NULL-group rows to tier 2 where create's
+            # null-safe join put them in tier 1
+            in_small = ~F.coalesce(in_large, F.lit(False))
         else:
             in_small = F.lit(False)
         tier = F.when(is_outlier, 0).when(in_small, 1).otherwise(2)

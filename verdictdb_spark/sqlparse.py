@@ -270,10 +270,24 @@ def strip_qualifiers(text: str, aliases: list[str]) -> str:
     """Drop ``alias.`` prefixes (column names must be unambiguous —
     the executor checks ownership separately).  Spark would read
     ``t.col`` as a struct-field access once the join has flattened
-    the schema."""
+    the schema.
+
+    Matches are located on the STRING-MASKED text so a literal like
+    ``'c.o.d.'`` is never rewritten (the raw-regex version corrupted
+    constants containing ``<alias>.``), then spliced out of the
+    original by position."""
+    masked = _mask(text, keep_depth0_only=False)
+    spans: list[tuple[int, int]] = []
     for a in sorted(set(aliases), key=len, reverse=True):
-        text = re.sub(rf"\b{re.escape(a)}\.(?=\w)", "", text)
-    return text
+        for m in re.finditer(rf"\b{re.escape(a)}\.(?=\w)", masked):
+            if not any(s <= m.start() < e for s, e in spans):
+                spans.append((m.start(), m.end()))
+    out, pos = [], 0
+    for s, e in sorted(spans):
+        out.append(text[pos:s])
+        pos = e
+    out.append(text[pos:])
+    return "".join(out)
 
 
 def _contains_agg_call(masked_text: str) -> bool:
@@ -432,8 +446,15 @@ def parse_select(sql: str) -> ParsedSelect:
         for piece in _split_top_level(cl["ORDER BY"]):
             m = re.search(r"\s+(ASC|DESC)\s*$", piece, re.IGNORECASE)
             desc = bool(m and m.group(1).upper() == "DESC")
-            expr = piece[: m.start()] if m else piece
-            expr = rewrite_aggs(strip_qualifiers(expr.strip(), aliases), "ORDER BY")
+            expr = (piece[: m.start()] if m else piece).strip()
+            if re.fullmatch(r"\d+", expr):
+                # positional ORDER BY: resolve against the select list
+                # (sorting by the literal int would silently no-op)
+                idx = int(expr) - 1
+                if not (0 <= idx < len(select_order)):
+                    raise Unsupported("ORDER BY ordinal out of range")
+                expr = select_order[idx]
+            expr = rewrite_aggs(strip_qualifiers(expr, aliases), "ORDER BY")
             # map group expressions to their output aliases
             for gi in group_items:
                 if norm_expr(expr) == norm_expr(gi.expr):
