@@ -286,3 +286,27 @@ def test_join_auto_switch(lineitem, spark, sf_dir):
         .select("l_orderkey").distinct().count()
     )
     assert res.estimates_sdf.count() == exact
+
+
+def test_spark_engine_no_convergence_on_empty_prefix(lineitem, spark, sf_dir):
+    """Review regression: empty early block-pairs must not be yielded
+    as (empty) estimates — the stop rule would 'converge' on nothing.
+    A transform that kills side-1 block 0 leaves the first iterations
+    empty; early_stop must still reach the real data."""
+    from verdictdb_spark.sampling import approx_join_agg
+    from verdictdb_spark.sampling.scramble import BLOCK_COL
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s1, m1 = create_scramble(lineitem, method="uniform", nblocks=4, seed=7)
+    s2, m2 = create_scramble(orders, method="uniform", nblocks=2, seed=13)
+
+    def drop_block0(df):
+        return df.where(F.col(BLOCK_COL) > 0)
+
+    res = approx_join_agg(
+        s1, m1, s2, m2, [("l_orderkey", "o_orderkey")],
+        [AggSpec("count", None, "c")], [],
+        transform=drop_block0, early_stop=True, engine="spark",
+    )
+    # estimate must reflect actual (non-empty) data, scaled
+    assert res.estimates["c"].iloc[0] > 0

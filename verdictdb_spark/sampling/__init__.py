@@ -14,6 +14,7 @@ from .progressive import (  # noqa: F401
     ProgressiveResult,
     approx_agg,
     converged,
+    converged_result,
     converged_sdf,
     progressive_agg,
 )

@@ -46,8 +46,7 @@ from .progressive import (
     _estimate,
     _estimate_spark,
     _partial_exprs,
-    converged,
-    converged_sdf,
+    converged_result,
 )
 from .scramble import BLOCK_COL, TIER_COL, ScrambleMeta
 
@@ -224,19 +223,29 @@ def progressive_join_agg(
     total_rows = 0
     acc_sdf: DataFrame | None = None
     use_spark = engine == "spark"
+    have_rows = False
     for it, (lo1, hi1, lo2, hi2) in enumerate(_spans(meta1.nblocks, meta2.nblocks)):
         cur_hi1, cur_hi2 = max(hi1, lo1 - 1), max(hi2, lo2 - 1)
         new_dfs = [slice_agg(*s) for s in increment_slices(lo1, hi1, lo2, hi2)]
+        plane_cov = (
+            (cur_hi1 + 1) * (cur_hi2 + 1) / (meta1.nblocks * meta2.nblocks)
+        )
         if not use_spark:
             for adf in new_dfs:
                 pdf = adf.toPandas()
                 if len(pdf):
                     acc.append(pdf)
                     total_rows += len(pdf)
-            if engine == "auto" and total_rows > engine_threshold:
+            if (
+                engine == "auto"
+                and total_rows > engine_threshold
+                and plane_cov <= 0.5
+            ):
                 # switch: re-aggregate the covered rectangle in ONE
-                # partition-pruned Spark job (cheap this early) rather
-                # than round-tripping pandas partials back up
+                # partition-pruned Spark job rather than round-tripping
+                # pandas partials back up; the coverage guard bounds the
+                # re-join cost — a late crossing stays on the driver,
+                # whose closed-form estimator is O(nnz)
                 use_spark = True
                 acc_sdf = slice_agg(0, cur_hi1, 0, cur_hi2).localCheckpoint(eager=True)
                 acc = []
@@ -255,8 +264,13 @@ def progressive_join_agg(
             and cov >= 1.0 - 1e-9
         )
         if use_spark:
-            if acc_sdf is None:
+            # no partials yet -> no estimate (mirrors the driver
+            # branch; an empty frame would let the stop rule converge
+            # on nothing).  The probe stops at the first non-empty
+            # iteration — partials only accumulate.
+            if acc_sdf is None or (not have_rows and acc_sdf.isEmpty()):
                 continue
+            have_rows = True
             yield ProgressiveResult(
                 estimates_sdf=_estimate_spark(acc_sdf, aggs, group_by, jm, cur_hi1),
                 coverage=cov,
@@ -276,20 +290,6 @@ def progressive_join_agg(
                 iteration=it,
                 is_exact=exact,
             )
-
-
-def _converged_any(prev, res, group_by, aliases, vt, gt) -> bool:
-    """Engine-aware convergence: Spark-side when both snapshots are
-    Spark frames, pandas otherwise; the auto-engine transition
-    iteration never counts as converged (comparing would materialize
-    the big frame on the driver)."""
-    if res.estimates_sdf is not None and prev.estimates_sdf is not None:
-        return converged_sdf(
-            prev.estimates_sdf, res.estimates_sdf, group_by, aliases, vt, gt
-        )
-    if res.estimates_sdf is not None or prev.estimates_sdf is not None:
-        return False
-    return converged(prev.estimates, res.estimates, group_by, aliases, vt, gt)
 
 
 def approx_join_agg(
@@ -315,7 +315,7 @@ def approx_join_agg(
         scramble1, meta1, scramble2, meta2, on, aggs, group_by, transform,
         engine=engine, engine_threshold=engine_threshold,
     ):
-        if early_stop and prev is not None and _converged_any(
+        if early_stop and prev is not None and converged_result(
             prev, res, group_by, aliases, value_threshold, group_threshold
         ):
             return res
@@ -484,18 +484,32 @@ def progressive_multi_join_agg(
     total_rows = 0
     acc_sdf: DataFrame | None = None
     use_spark = engine == "spark"
+    have_rows = False
+    nb_total = 1.0
+    for m in metas:
+        nb_total *= m.nblocks
     for it, spans in enumerate(_multi_spans([m.nblocks for m in metas])):
         cur_his = [max(hi, lo - 1) for lo, hi in spans]
         new_dfs = [slab_agg(r) for r in _slabs(spans)]
+        cube_cov = 1.0
+        for h in cur_his:
+            cube_cov *= h + 1
+        cube_cov /= nb_total
         if not use_spark:
             for adf in new_dfs:
                 pdf = adf.toPandas()
                 if len(pdf):
                     acc.append(pdf)
                     total_rows += len(pdf)
-            if engine == "auto" and total_rows > engine_threshold:
+            if (
+                engine == "auto"
+                and total_rows > engine_threshold
+                and cube_cov <= 0.5
+            ):
                 # switch: one pruned re-aggregation of the covered
-                # hyper-rectangle replaces the collected partials
+                # hyper-rectangle replaces the collected partials; the
+                # coverage guard bounds the N-way re-join cost (a late
+                # crossing stays on the driver's O(nnz) estimator)
                 use_spark = True
                 acc_sdf = slab_agg([(0, h) for h in cur_his]).localCheckpoint(
                     eager=True
@@ -515,8 +529,11 @@ def progressive_multi_join_agg(
             and cov >= 1.0 - 1e-9
         )
         if use_spark:
-            if acc_sdf is None:
+            # mirror the driver branch's empty-partials skip (see the
+            # two-scramble loop)
+            if acc_sdf is None or (not have_rows and acc_sdf.isEmpty()):
                 continue
+            have_rows = True
             yield ProgressiveResult(
                 estimates_sdf=_estimate_spark(acc_sdf, aggs, group_by, jm, cur_his[0]),
                 coverage=cov,
@@ -558,7 +575,7 @@ def approx_multi_join_agg(
         scrambles, on, aggs, group_by, transform,
         engine=engine, engine_threshold=engine_threshold,
     ):
-        if early_stop and prev is not None and _converged_any(
+        if early_stop and prev is not None and converged_result(
             prev, res, group_by, aliases, value_threshold, group_threshold
         ):
             return res

@@ -478,11 +478,41 @@ def converged_sdf(
         viol.alias("viol"),
     ).first()
     np_, nc_, nm_ = (int(row[k] or 0) for k in ("np", "nc", "nm"))
+    if np_ == 0 or nc_ == 0:
+        # no rows (or no groups) yet on either side — "nothing changed
+        # between two empty estimates" is NOT convergence
+        return False
     if abs(nc_ - np_) > group_threshold * max(np_, 1):
         return False
     if gb and nm_ < max(np_, nc_) * (1 - group_threshold):
         return False
     return int(row["viol"] or 0) == 0
+
+
+def converged_result(
+    prev: ProgressiveResult,
+    res: ProgressiveResult,
+    group_by: Sequence[str],
+    value_cols: Sequence[str],
+    value_threshold: float = 0.02,
+    group_threshold: float = 0.05,
+) -> bool:
+    """Engine-aware convergence between two progressive snapshots:
+    Spark-side when both are Spark frames, pandas when both are
+    driver frames; the auto-engine transition iteration never counts
+    as converged (comparing across engines would materialize the big
+    frame on the driver)."""
+    if res.estimates_sdf is not None and prev.estimates_sdf is not None:
+        return converged_sdf(
+            prev.estimates_sdf, res.estimates_sdf, group_by, value_cols,
+            value_threshold, group_threshold,
+        )
+    if res.estimates_sdf is not None or prev.estimates_sdf is not None:
+        return False
+    return converged(
+        prev.estimates, res.estimates, group_by, value_cols,
+        value_threshold, group_threshold,
+    )
 
 
 def progressive_agg(
@@ -529,6 +559,7 @@ def progressive_agg(
     total_rows = 0
     acc_sdf: DataFrame | None = None
     use_spark = engine == "spark"
+    have_rows = False
     spans = _schedule(meta.nblocks, schedule)
     for it, (lo, hi) in enumerate(spans):
         batch = scramble.where(F.col(BLOCK_COL).between(lo, hi))
@@ -540,13 +571,19 @@ def progressive_agg(
             if len(pdf):
                 acc.append(pdf)
                 total_rows += len(pdf)
-            if engine == "auto" and total_rows > engine_threshold:
+            if (
+                engine == "auto"
+                and total_rows > engine_threshold
+                and meta.coverage(hi, 0) <= 0.5
+            ):
                 # switch to the Spark engine: RE-AGGREGATE the covered
                 # prefix in one partition-pruned Spark job rather than
                 # round-tripping the collected pandas partials back up
                 # (Arrow nullable-int -> float64 coercion would reject
-                # the original schema).  The switch fires early, so the
-                # prefix rescan is a small fraction of the table.
+                # the original schema).  The coverage guard bounds the
+                # rescan: past half coverage the driver already holds
+                # the frame, remaining growth is the same order, and a
+                # rescan would redo most of the work — stay driver.
                 use_spark = True
                 prefix = scramble.where(F.col(BLOCK_COL).between(0, hi))
                 if transform is not None:
@@ -566,8 +603,15 @@ def progressive_agg(
         # full prefix is still an estimate of the original table
         exact = hi + 1 >= meta.nblocks and cov >= 1.0 - 1e-9
         if use_spark:
-            if acc_sdf is None:
+            # mirror the driver branch's "no partials yet -> no
+            # estimate": an empty partial frame would yield an empty
+            # (or all-NULL scalar) estimate that the stop rule could
+            # spuriously accept.  The isEmpty probe runs on the
+            # checkpointed frame and stops at the first non-empty
+            # iteration (rows only accumulate).
+            if acc_sdf is None or (not have_rows and acc_sdf.isEmpty()):
                 continue
+            have_rows = True
             yield ProgressiveResult(
                 estimates_sdf=_estimate_spark(acc_sdf, aggs, group_by, meta, hi),
                 coverage=cov,
@@ -646,24 +690,10 @@ def approx_agg(
         scramble, meta, aggs, group_by, schedule, transform,
         engine=engine, engine_threshold=engine_threshold,
     ):
-        if early_stop and prev is not None:
-            if res.estimates_sdf is not None and prev.estimates_sdf is not None:
-                conv = converged_sdf(
-                    prev.estimates_sdf, res.estimates_sdf, group_by, aliases,
-                    value_threshold, group_threshold,
-                )
-            elif res.estimates_sdf is not None or prev.estimates_sdf is not None:
-                # auto-engine transition iteration: comparing would
-                # materialize the big Spark-side frame on the driver —
-                # treat as not-yet-converged and compare next round
-                conv = False
-            else:
-                conv = converged(
-                    prev.estimates, res.estimates, group_by, aliases,
-                    value_threshold, group_threshold,
-                )
-            if conv:
-                return res
+        if early_stop and prev is not None and converged_result(
+            prev, res, group_by, aliases, value_threshold, group_threshold
+        ):
+            return res
         prev = res
     if prev is None:
         raise ValueError(
