@@ -399,3 +399,67 @@ def test_sql_string_literal_containing_alias_dot(ctx, lineitem):
         early_stop=False,
     ).first()["c"]
     assert out == pytest.approx(lineitem.count())
+
+
+# ---------------------------------------------------- scramble DDL SQL
+def test_ddl_create_show_drop_roundtrip(spark, tmp_path, lineitem):
+    """CREATE SCRAMBLE / SHOW SCRAMBLES / DROP SCRAMBLE as SQL text
+    (reference grammar VerdictSQLParser.g4:69-102)."""
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.limit(3000).createOrReplaceTempView("li_ddl")
+    st = c.sql("CREATE SCRAMBLE li_ddl_scr FROM li_ddl METHOD uniform SIZE 1.0")
+    assert st.first()["status"] == "created"
+    shown = c.sql("SHOW SCRAMBLES").toPandas()
+    assert list(shown["scramble"]) == ["li_ddl_scr"]
+    assert shown["method"].iloc[0] == "uniform"
+    # the created scramble answers approximate queries for the source
+    out = c.sql(
+        "SELECT count(*) AS n FROM li_ddl", early_stop=False
+    ).first()["n"]
+    assert out == pytest.approx(3000)
+    # IF NOT EXISTS is idempotent; plain CREATE raises
+    assert c.sql(
+        "CREATE SCRAMBLE IF NOT EXISTS li_ddl_scr FROM li_ddl"
+    ).first()["status"] == "exists"
+    with pytest.raises(ValueError, match="already exists"):
+        c.sql("CREATE SCRAMBLE li_ddl_scr FROM li_ddl")
+    dropped = c.sql("DROP SCRAMBLE li_ddl_scr").first()["dropped"]
+    assert dropped == 1
+    assert c.sql("SHOW SCRAMBLES").count() == 0
+
+
+def test_ddl_create_hash_scramble_where(spark, tmp_path, lineitem):
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.createOrReplaceTempView("li_ddl2")
+    c.sql(
+        "CREATE SCRAMBLE li_h FROM li_ddl2 WHERE l_quantity > 10 "
+        "METHOD hash HASHCOLUMN l_orderkey"
+    )
+    out = c.sql(
+        "SELECT count(DISTINCT l_orderkey) AS ndv FROM li_ddl2",
+        early_stop=False,
+    ).first()["ndv"]
+    # the scramble was built over the filtered rows; count distinct is
+    # exact over that subset at full coverage
+    exact = (
+        lineitem.where("l_quantity > 10").select("l_orderkey").distinct().count()
+    )
+    assert round(out) == exact
+
+
+def test_ddl_append_scramble(spark, tmp_path, lineitem):
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.createOrReplaceTempView("li_ddl3")
+    c.sql("CREATE SCRAMBLE li_a FROM li_ddl3 WHERE l_orderkey % 2 = 0")
+    st = c.sql("APPEND SCRAMBLE li_a WHERE l_orderkey % 2 = 1")
+    assert st.first()["appended_rows"] > 0
+    out = c.sql("SELECT count(*) AS n FROM li_ddl3", early_stop=False).first()["n"]
+    assert out == pytest.approx(lineitem.count())
+
+
+def test_ddl_drop_all(spark, tmp_path, lineitem):
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.limit(1000).createOrReplaceTempView("li_ddl4")
+    c.sql("CREATE SCRAMBLE s1 FROM li_ddl4")
+    c.sql("CREATE SCRAMBLE IF NOT EXISTS s2 FROM li_ddl4 METHOD uniform")
+    assert c.sql("DROP ALL SCRAMBLES li_ddl4").first()["dropped"] == 2

@@ -43,14 +43,62 @@ from .metastore import MetaStore
 from .sampling.progressive import AggSpec, ProgressiveResult, approx_agg
 from .sampling.scramble import (
     BLOCK_COL,
+    DEFAULT_BLOCK_SIZE,
     TIER_COL,
     ScrambleMeta,
+    append_scramble,
     create_fastconverge_scramble,
     create_scramble,
     load_scramble,
     write_scramble,
 )
 from .sqlparse import ParsedSelect, Unsupported, parse_select
+
+# ---- scramble DDL statements (reference grammar VerdictSQLParser.g4:
+# 69-102: create/insert/drop/drop-all/show scramble statements) -------
+_SHOW_RE = re.compile(r"^\s*SHOW\s+SCRAMBLES\s*;?\s*$", re.IGNORECASE)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+SCRAMBLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w\.]+)"
+    r"\s+FROM\s+(?P<orig>[\w\.]+)(?P<rest>[\s\S]*?);?\s*$",
+    re.IGNORECASE,
+)
+_DROP_ALL_RE = re.compile(
+    r"^\s*DROP\s+ALL\s+SCRAMBLES?\s+(?P<orig>[\w\.]+)\s*;?\s*$", re.IGNORECASE
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+SCRAMBLE\s+(?P<name>[\w\.]+)(?:\s+ON\s+(?P<orig>[\w\.]+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_APPEND_RE = re.compile(
+    r"^\s*(?:APPEND|INSERT)\s+SCRAMBLE\s+(?P<name>[\w\.]+)\s+WHERE\s+(?P<where>[\s\S]+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_OPT_KEYWORDS = r"METHOD|HASHCOLUMN|ON|SIZE|RATIO|BLOCKSIZE"
+
+
+def _parse_create_options(rest: str) -> dict:
+    """WHERE / METHOD / HASHCOLUMN|ON / SIZE|RATIO / BLOCKSIZE options
+    of a CREATE SCRAMBLE statement (any order after FROM)."""
+    opts: dict = {}
+    wm = re.search(
+        rf"\bWHERE\s+(.+?)(?=\b(?:{_OPT_KEYWORDS})\b|$)", rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if wm:
+        opts["where"] = wm.group(1).strip()
+    m = re.search(r"\bMETHOD\s+'?(\w+)'?", rest, re.IGNORECASE)
+    if m:
+        opts["method"] = m.group(1).lower()
+    m = re.search(r"\b(?:HASHCOLUMN|ON)\s+([\w\.]+)", rest, re.IGNORECASE)
+    if m:
+        opts["column"] = m.group(1)
+    m = re.search(r"\b(?:SIZE|RATIO)\s+([0-9]*\.?[0-9]+)", rest, re.IGNORECASE)
+    if m:
+        opts["size"] = float(m.group(1))
+    m = re.search(r"\bBLOCKSIZE\s+(\d+)", rest, re.IGNORECASE)
+    if m:
+        opts["block_size"] = int(m.group(1))
+    return opts
 
 
 @dataclass
@@ -215,7 +263,16 @@ class VerdictContext:
 
         ``with_errors=True`` appends a ``<alias>_err`` half-width
         (~95% CI) column per aggregate — the reference's
-        ``VerdictSingleResult`` accuracy surface."""
+        ``VerdictSingleResult`` accuracy surface.
+
+        Scramble DDL statements (CREATE / APPEND / DROP / DROP ALL
+        SCRAMBLE, SHOW SCRAMBLES — the reference grammar's dedicated
+        statements) are recognized first and run against the
+        metastore; malformed DDL raises rather than falling through
+        to Spark, which has no such statements."""
+        ddl = self._ddl(query)
+        if ddl is not None:
+            return ddl
         try:
             plan = self._plan(query)
         except Unsupported:
@@ -230,6 +287,130 @@ class VerdictContext:
             # expression failed Spark analysis under the rewrite — the
             # contract is pass-through, not error
             return self.spark.sql(query)
+
+    # ------------------------------------------------------------- DDL
+    def _ddl(self, query: str) -> DataFrame | None:
+        """Scramble DDL dispatch (VerdictSQLParser.g4:69-102).  Returns
+        a status/result DataFrame, or None when the statement is not
+        scramble DDL."""
+        spark = self.spark
+        if _SHOW_RE.match(query):
+            rows = []
+            for e in self.metastore.show("scramble"):
+                try:
+                    meta = ScrambleMeta.from_json(e.meta_json)
+                    method, nblocks = meta.method, meta.nblocks
+                except Exception:
+                    method, nblocks = "?", -1
+                rows.append(
+                    (
+                        e.source_table,
+                        os.path.basename(e.artifact_path),
+                        method,
+                        nblocks,
+                        float(e.added_at),
+                    )
+                )
+            return spark.createDataFrame(
+                rows,
+                schema="original_table string, scramble string, method string, "
+                "nblocks int, added_at double",
+            )
+
+        m = _CREATE_RE.match(query)
+        if m and re.search(r"^\s*CREATE\s+SCRAMBLE\b", query, re.IGNORECASE):
+            opts = _parse_create_options(m.group("rest"))
+            name = re.sub(r"[^\w]", "_", m.group("name"))
+            orig = m.group("orig")
+            path = os.path.join(self.root, name)
+            exists = os.path.exists(os.path.join(path, "_verdictdb_meta.json"))
+            if exists and not m.group("ine"):
+                raise ValueError(
+                    f"scramble {m.group('name')!r} already exists "
+                    "(use CREATE SCRAMBLE IF NOT EXISTS)"
+                )
+            if not exists:
+                df = spark.table(orig)
+                if "where" in opts:
+                    df = df.where(F.expr(opts["where"]))
+                method = opts.get("method", "uniform")
+                bs = opts.get("block_size", DEFAULT_BLOCK_SIZE)
+                if method == "fastconverge":
+                    if "column" not in opts:
+                        raise ValueError(
+                            "METHOD fastconverge needs ON <outlier column>"
+                        )
+                    sdf, meta = create_fastconverge_scramble(
+                        df, outlier_column=opts["column"], block_size=bs
+                    )
+                else:
+                    sdf, meta = create_scramble(
+                        df, method=method, column=opts.get("column"),
+                        size=opts.get("size", 1.0), block_size=bs,
+                    )
+                write_scramble(sdf, meta, path)
+                self.metastore.register("scramble", orig, path, meta.to_json())
+            return spark.createDataFrame(
+                [(name, orig, "exists" if exists else "created")],
+                schema="scramble string, original_table string, status string",
+            )
+
+        m = _DROP_ALL_RE.match(query)
+        if m:
+            dropped = 0
+            for e in self.metastore.show("scramble"):
+                if e.source_table == m.group("orig"):
+                    self.metastore.drop(e.artifact_path)
+                    dropped += 1
+            return spark.createDataFrame(
+                [(m.group("orig"), dropped)],
+                schema="original_table string, dropped int",
+            )
+
+        m = _DROP_RE.match(query)
+        if m and re.search(r"^\s*DROP\s+SCRAMBLE\b", query, re.IGNORECASE):
+            name = re.sub(r"[^\w]", "_", m.group("name"))
+            orig = m.group("orig")
+            dropped = 0
+            for e in self.metastore.show("scramble"):
+                if os.path.basename(e.artifact_path) == name and (
+                    orig is None or e.source_table == orig
+                ):
+                    self.metastore.drop(e.artifact_path)
+                    dropped += 1
+            return spark.createDataFrame(
+                [(name, dropped)], schema="scramble string, dropped int"
+            )
+
+        m = _APPEND_RE.match(query)
+        if m:
+            name = re.sub(r"[^\w]", "_", m.group("name"))
+            entry = next(
+                (
+                    e
+                    for e in self.metastore.show("scramble")
+                    if os.path.basename(e.artifact_path) == name
+                ),
+                None,
+            )
+            if entry is None:
+                raise KeyError(f"no scramble named {m.group('name')!r}")
+            meta = ScrambleMeta.from_json(entry.meta_json)
+            new_rows = self.spark.table(entry.source_table).where(
+                F.expr(m.group("where"))
+            )
+            assigned = append_scramble(new_rows, meta)
+            n = assigned.count()
+            # statistically compatible by construction (stored CDFs +
+            # deterministic hashes); physically an append of new
+            # block-partition files
+            assigned.write.mode("append").partitionBy(BLOCK_COL).parquet(
+                entry.artifact_path
+            )
+            return spark.createDataFrame(
+                [(name, n)], schema="scramble string, appended_rows long"
+            )
+        return None
 
     # -------------------------------------------------------- planning
     def _plan(self, query: str) -> _Plan | None:
