@@ -463,3 +463,46 @@ def test_ddl_drop_all(spark, tmp_path, lineitem):
     c.sql("CREATE SCRAMBLE s1 FROM li_ddl4")
     c.sql("CREATE SCRAMBLE IF NOT EXISTS s2 FROM li_ddl4 METHOD uniform")
     assert c.sql("DROP ALL SCRAMBLES li_ddl4").first()["dropped"] == 2
+
+
+# -------------------------------------------- BYPASS / STREAM / SET-GET
+def test_bypass_prefix_runs_exact(ctx, spark, lineitem):
+    lineitem.createOrReplaceTempView("lineitem")
+    out = ctx.sql("BYPASS SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert out == lineitem.count()  # exact, not scaled
+
+
+def test_set_get_config(ctx):
+    ctx.sql("SET verdictdb.value_threshold = 0.01")
+    assert ctx.sql("GET verdictdb.value_threshold").first()["value"] == "0.01"
+    assert ctx.conf["verdictdb.value_threshold"] == "0.01"
+    ctx.sql("SET verdictdb.value_threshold = 0.02")  # restore
+
+
+def test_stream_iterator_refines(ctx, lineitem):
+    results = list(
+        ctx.stream(
+            "STREAM SELECT l_returnflag, sum(l_quantity) AS s "
+            "FROM lineitem GROUP BY l_returnflag"
+        )
+    )
+    assert len(results) >= 2  # multiple refinement steps
+    assert results[-1].is_exact
+    covs = [r.coverage for r in results]
+    assert covs == sorted(covs)
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        .toPandas().set_index("l_returnflag")
+    )
+    got = results[-1].estimates.set_index("l_returnflag")
+    for flag in exact.index:
+        assert got.loc[flag, "s"] == pytest.approx(exact.loc[flag, "s"])
+
+
+def test_sql_stream_prefix_returns_final(ctx, lineitem):
+    out = ctx.sql(
+        "STREAM SELECT sum(l_quantity) AS s FROM lineitem"
+    ).first()["s"]
+    exact = lineitem.agg(F.sum("l_quantity")).first()[0]
+    assert out == pytest.approx(float(exact))

@@ -74,6 +74,14 @@ _APPEND_RE = re.compile(
     re.IGNORECASE,
 )
 _OPT_KEYWORDS = r"METHOD|HASHCOLUMN|ON|SIZE|RATIO|BLOCKSIZE"
+# statement prefixes / config statements (ExecutionContext.checkBypass:
+# 126-149, grammar STREAM select_statement :175, config_statement :104-131)
+_BYPASS_RE = re.compile(r"^\s*BYPASS\s+([\s\S]+)$", re.IGNORECASE)
+_STREAM_RE = re.compile(r"^\s*STREAM\s+([\s\S]+)$", re.IGNORECASE)
+_SET_RE = re.compile(
+    r"^\s*SET\s+([\w\.]+)\s*=\s*'?([^';]+?)'?\s*;?\s*$", re.IGNORECASE
+)
+_GET_RE = re.compile(r"^\s*GET\s+([\w\.]+)\s*;?\s*$", re.IGNORECASE)
 
 
 def _parse_create_options(rest: str) -> dict:
@@ -125,6 +133,14 @@ class VerdictContext:
         self.spark = spark
         self.root = root
         self.metastore = MetaStore(root)
+        # SET/GET-able session config (reference config_statement);
+        # recognized execution knobs are read by sql()/_execute
+        self.conf: dict[str, str] = {
+            "verdictdb.value_threshold": "0.02",
+            "verdictdb.group_threshold": "0.05",
+            "verdictdb.engine": "auto",
+            "verdictdb.engine_threshold": "200000",
+        }
 
     # ------------------------------------------------------------ DDL
     def create_scramble(
@@ -269,7 +285,32 @@ class VerdictContext:
         SCRAMBLE, SHOW SCRAMBLES — the reference grammar's dedicated
         statements) are recognized first and run against the
         metastore; malformed DDL raises rather than falling through
-        to Spark, which has no such statements."""
+        to Spark, which has no such statements.  ``BYPASS <sql>``
+        skips substitution entirely (ExecutionContext.checkBypass);
+        ``STREAM <select>`` runs the full progressive refinement
+        (use :meth:`stream` for the per-iteration iterator); ``SET
+        key = value`` / ``GET key`` read/write :attr:`conf`."""
+        m = _BYPASS_RE.match(query)
+        if m:
+            return self.spark.sql(m.group(1))
+        m = _SET_RE.match(query)
+        if m and not re.match(r"^\s*SELECT\b", query, re.IGNORECASE):
+            key, val = m.group(1), m.group(2).strip()
+            self.conf[key] = val
+            return self.spark.createDataFrame(
+                [(key, val)], schema="key string, value string"
+            )
+        m = _GET_RE.match(query)
+        if m:
+            key = m.group(1)
+            return self.spark.createDataFrame(
+                [(key, self.conf.get(key))], schema="key string, value string"
+            )
+        m = _STREAM_RE.match(query)
+        if m:
+            # the reference's STREAM surface iterates every refinement;
+            # sql() returns the final one — stream() gives the iterator
+            query, early_stop = m.group(1), False
         ddl = self._ddl(query)
         if ddl is not None:
             return ddl
@@ -548,10 +589,60 @@ class VerdictContext:
             derived=derived,
         )
 
+    def _exec_kwargs(self) -> dict:
+        return {
+            "value_threshold": float(self.conf.get("verdictdb.value_threshold", 0.02)),
+            "group_threshold": float(self.conf.get("verdictdb.group_threshold", 0.05)),
+            "engine": self.conf.get("verdictdb.engine", "auto"),
+            "engine_threshold": int(
+                float(self.conf.get("verdictdb.engine_threshold", 200_000))
+            ),
+        }
+
+    def stream(self, query: str):
+        """Progressive iterator for a rewritable SELECT (the grammar's
+        ``STREAM select_statement``): yields one ``ProgressiveResult``
+        per refinement step with the plan's aliases in ``estimates``.
+        HAVING / ORDER BY / LIMIT are final-result decorations and are
+        not applied per step.  Raises ``Unsupported`` for
+        non-rewritable statements (streams have no exact fallback)."""
+        q = _STREAM_RE.match(query)
+        if q:
+            query = q.group(1)
+        plan = self._plan(query)
+        if plan is None:
+            raise Unsupported("no registered scramble for STREAM query")
+        tf = self._transform_of(plan)
+        kw = self._exec_kwargs()
+        ekw = {
+            "engine": kw["engine"],
+            "engine_threshold": kw["engine_threshold"],
+        }
+        if len(plan.scrambles) == 1:
+            from .sampling.progressive import progressive_agg
+
+            sdf, meta = plan.scrambles[0]
+            yield from progressive_agg(
+                sdf, meta, plan.aggs, plan.group_cols, transform=tf, **ekw
+            )
+        elif len(plan.scrambles) == 2:
+            from .sampling.join import progressive_join_agg
+
+            (s1, m1), (s2, m2) = plan.scrambles
+            yield from progressive_join_agg(
+                s1, m1, s2, m2, plan.scramble_on[0], plan.aggs,
+                plan.group_cols, transform=tf, **ekw,
+            )
+        else:
+            from .sampling.join import progressive_multi_join_agg
+
+            yield from progressive_multi_join_agg(
+                plan.scrambles, plan.scramble_on, plan.aggs, plan.group_cols,
+                transform=tf, **ekw,
+            )
+
     # ------------------------------------------------------- execution
-    def _execute(
-        self, plan: _Plan, early_stop: bool, with_errors: bool
-    ) -> DataFrame:
+    def _transform_of(self, plan: _Plan):
         p = plan.parsed
 
         def tf(batch: DataFrame) -> DataFrame:
@@ -567,11 +658,19 @@ class VerdictContext:
                 batch = batch.withColumn(name, F.expr(expr))
             return batch
 
+        return tf
+
+    def _execute(
+        self, plan: _Plan, early_stop: bool, with_errors: bool
+    ) -> DataFrame:
+        p = plan.parsed
+        tf = self._transform_of(plan)
+        kw = self._exec_kwargs()
         if len(plan.scrambles) == 1:
             sdf, meta = plan.scrambles[0]
             res = approx_agg(
                 sdf, meta, plan.aggs, plan.group_cols,
-                transform=tf, early_stop=early_stop,
+                transform=tf, early_stop=early_stop, **kw,
             )
         elif len(plan.scrambles) == 2:
             from .sampling.join import approx_join_agg
@@ -579,14 +678,14 @@ class VerdictContext:
             (s1, m1), (s2, m2) = plan.scrambles
             res = approx_join_agg(
                 s1, m1, s2, m2, plan.scramble_on[0], plan.aggs, plan.group_cols,
-                transform=tf, early_stop=early_stop,
+                transform=tf, early_stop=early_stop, **kw,
             )
         else:
             from .sampling.join import approx_multi_join_agg
 
             res = approx_multi_join_agg(
                 plan.scrambles, plan.scramble_on, plan.aggs, plan.group_cols,
-                transform=tf, early_stop=early_stop,
+                transform=tf, early_stop=early_stop, **kw,
             )
 
         pdf = res.estimates
