@@ -506,3 +506,62 @@ def test_sql_stream_prefix_returns_final(ctx, lineitem):
     ).first()["s"]
     exact = lineitem.agg(F.sum("l_quantity")).first()[0]
     assert out == pytest.approx(float(exact))
+
+
+# ----------------------------------------- review-pass 3 regressions
+def test_ddl_drop_then_recreate(spark, tmp_path, lineitem):
+    """DROP SCRAMBLE must remove the artifact so the name is reusable."""
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.limit(1000).createOrReplaceTempView("li_rc")
+    c.sql("CREATE SCRAMBLE rc FROM li_rc")
+    c.sql("DROP SCRAMBLE rc")
+    st = c.sql("CREATE SCRAMBLE rc FROM li_rc")  # no 'already exists'
+    assert st.first()["status"] == "created"
+    assert c.sql("SHOW SCRAMBLES").count() == 1
+
+
+def test_spark_native_set_passes_through(ctx, spark):
+    """SET spark.* must reach Spark, not the verdict conf dict."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ctx.sql("SET spark.sql.shuffle.partitions = 7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert "spark.sql.shuffle.partitions" not in ctx.conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_set_validates_known_keys(ctx):
+    with pytest.raises(ValueError, match="invalid value"):
+        ctx.sql("SET verdictdb.value_threshold = oops")
+    with pytest.raises(ValueError, match="invalid value"):
+        ctx.sql("SET verdictdb.engine = warp")
+
+
+def test_malformed_ddl_raises(ctx):
+    with pytest.raises(ValueError, match="malformed scramble DDL"):
+        ctx.sql("CREATE SCRAMBLE missing_from_clause")
+    with pytest.raises(ValueError, match="malformed scramble DDL"):
+        ctx.sql("APPEND SCRAMBLE s")  # missing WHERE
+
+
+def test_create_options_literal_keywords(spark, tmp_path, lineitem):
+    """Option keywords inside WHERE string literals must not truncate
+    the predicate; junk options must raise."""
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.createOrReplaceTempView("li_lit")
+    c.sql("CREATE SCRAMBLE lit FROM li_lit WHERE l_returnflag <> 'on size'")
+    n = c.sql("SELECT count(*) AS n FROM li_lit", early_stop=False).first()["n"]
+    assert n == pytest.approx(lineitem.where("l_returnflag <> 'on size'").count())
+    with pytest.raises(ValueError, match="unrecognized CREATE SCRAMBLE"):
+        c.sql("CREATE SCRAMBLE bad FROM li_lit FROBNICATE 3")
+
+
+def test_stream_applies_select_aliases(ctx, lineitem):
+    results = list(
+        ctx.stream(
+            "SELECT l_returnflag AS f, sum(l_quantity) AS s "
+            "FROM lineitem GROUP BY l_returnflag"
+        )
+    )
+    assert "f" in results[-1].estimates.columns

@@ -86,27 +86,60 @@ _GET_RE = re.compile(r"^\s*GET\s+([\w\.]+)\s*;?\s*$", re.IGNORECASE)
 
 def _parse_create_options(rest: str) -> dict:
     """WHERE / METHOD / HASHCOLUMN|ON / SIZE|RATIO / BLOCKSIZE options
-    of a CREATE SCRAMBLE statement (any order after FROM)."""
+    of a CREATE SCRAMBLE statement (any order after FROM).
+
+    The WHERE clause's extent is located on STRING-MASKED text so an
+    option keyword inside a literal (``WHERE note = 'on time'``) never
+    truncates the predicate; leftover unrecognized text raises instead
+    of being silently dropped."""
+    from .sqlparse import _mask
+
     opts: dict = {}
-    wm = re.search(
-        rf"\bWHERE\s+(.+?)(?=\b(?:{_OPT_KEYWORDS})\b|$)", rest,
-        re.IGNORECASE | re.DOTALL,
-    )
+    masked = _mask(rest, keep_depth0_only=False)
+    wm = re.search(r"\bWHERE\b", masked, re.IGNORECASE)
     if wm:
-        opts["where"] = wm.group(1).strip()
-    m = re.search(r"\bMETHOD\s+'?(\w+)'?", rest, re.IGNORECASE)
-    if m:
-        opts["method"] = m.group(1).lower()
-    m = re.search(r"\b(?:HASHCOLUMN|ON)\s+([\w\.]+)", rest, re.IGNORECASE)
-    if m:
-        opts["column"] = m.group(1)
-    m = re.search(r"\b(?:SIZE|RATIO)\s+([0-9]*\.?[0-9]+)", rest, re.IGNORECASE)
-    if m:
-        opts["size"] = float(m.group(1))
-    m = re.search(r"\bBLOCKSIZE\s+(\d+)", rest, re.IGNORECASE)
-    if m:
-        opts["block_size"] = int(m.group(1))
+        after = masked[wm.end():]
+        em = re.search(rf"\b(?:{_OPT_KEYWORDS})\b", after, re.IGNORECASE)
+        wend = wm.end() + (em.start() if em else len(after))
+        opts["where"] = rest[wm.end():wend].strip()
+        remainder = rest[: wm.start()] + " " + rest[wend:]
+    else:
+        remainder = rest
+
+    def take(pattern: str, cast=None):
+        nonlocal remainder
+        m = re.search(pattern, remainder, re.IGNORECASE)
+        if not m:
+            return None
+        v = m.group(1)
+        remainder = remainder[: m.start()] + " " + remainder[m.end():]
+        return cast(v) if cast else v
+
+    v = take(r"\bMETHOD\s+'?(\w+)'?")
+    if v:
+        opts["method"] = v.lower()
+    v = take(r"\b(?:HASHCOLUMN|ON)\s+([\w\.]+)")
+    if v:
+        opts["column"] = v
+    v = take(r"\b(?:SIZE|RATIO)\s+([0-9]*\.?[0-9]+)", float)
+    if v is not None:
+        opts["size"] = v
+    v = take(r"\bBLOCKSIZE\s+(\d+)", int)
+    if v is not None:
+        opts["block_size"] = v
+    if remainder.strip():
+        raise ValueError(
+            f"unrecognized CREATE SCRAMBLE options: {remainder.strip()[:60]!r}"
+        )
     return opts
+
+
+_CONF_VALIDATORS = {
+    "verdictdb.value_threshold": float,
+    "verdictdb.group_threshold": float,
+    "verdictdb.engine_threshold": lambda v: int(float(v)),
+    "verdictdb.engine": lambda v: {"auto": 1, "driver": 1, "spark": 1}[v],
+}
 
 
 @dataclass
@@ -164,17 +197,10 @@ class VerdictContext:
         ).hexdigest()[:16]
         path = os.path.join(self.root, f"scramble_{source_table}_{key}")
         if not os.path.exists(os.path.join(path, "_verdictdb_meta.json")):
-            if method == "fastconverge":
-                sdf, meta = create_fastconverge_scramble(
-                    df, outlier_column=column, nblocks=nblocks, seed=seed, **kwargs
-                )
-            else:
-                sdf, meta = create_scramble(
-                    df, method=method, column=column, nblocks=nblocks,
-                    size=size, seed=seed, nrows=nrows,
-                )
-            write_scramble(sdf, meta, path)
-            self.metastore.register("scramble", source_table, path, meta.to_json())
+            self._build_and_register(
+                path, source_table, df, method=method, column=column,
+                nblocks=nblocks, size=size, seed=seed, nrows=nrows, **kwargs,
+            )
         # return THIS scramble (not newest-wins lookup): a caller that
         # builds both a uniform and a hash scramble for one table gets
         # back what it asked for; sql()/approx() use the lookup path
@@ -294,8 +320,21 @@ class VerdictContext:
         if m:
             return self.spark.sql(m.group(1))
         m = _SET_RE.match(query)
-        if m and not re.match(r"^\s*SELECT\b", query, re.IGNORECASE):
+        if m:
             key, val = m.group(1), m.group(2).strip()
+            if not key.lower().startswith("verdictdb."):
+                # Spark-native SET (spark.sql.*, session vars) passes
+                # through untouched — only verdictdb.* keys are ours
+                return self.spark.sql(query)
+            check = _CONF_VALIDATORS.get(key.lower())
+            if check is not None:
+                try:
+                    check(val)
+                except Exception:
+                    raise ValueError(
+                        f"invalid value {val!r} for {key} "
+                        f"(expected {getattr(check, '__name__', 'one of auto|driver|spark')})"
+                    )
             self.conf[key] = val
             return self.spark.createDataFrame(
                 [(key, val)], schema="key string, value string"
@@ -359,7 +398,7 @@ class VerdictContext:
             )
 
         m = _CREATE_RE.match(query)
-        if m and re.search(r"^\s*CREATE\s+SCRAMBLE\b", query, re.IGNORECASE):
+        if m:
             opts = _parse_create_options(m.group("rest"))
             name = re.sub(r"[^\w]", "_", m.group("name"))
             orig = m.group("orig")
@@ -374,23 +413,13 @@ class VerdictContext:
                 df = spark.table(orig)
                 if "where" in opts:
                     df = df.where(F.expr(opts["where"]))
-                method = opts.get("method", "uniform")
-                bs = opts.get("block_size", DEFAULT_BLOCK_SIZE)
-                if method == "fastconverge":
-                    if "column" not in opts:
-                        raise ValueError(
-                            "METHOD fastconverge needs ON <outlier column>"
-                        )
-                    sdf, meta = create_fastconverge_scramble(
-                        df, outlier_column=opts["column"], block_size=bs
-                    )
-                else:
-                    sdf, meta = create_scramble(
-                        df, method=method, column=opts.get("column"),
-                        size=opts.get("size", 1.0), block_size=bs,
-                    )
-                write_scramble(sdf, meta, path)
-                self.metastore.register("scramble", orig, path, meta.to_json())
+                self._build_and_register(
+                    path, orig, df,
+                    method=opts.get("method", "uniform"),
+                    column=opts.get("column"),
+                    size=opts.get("size", 1.0),
+                    block_size=opts.get("block_size", DEFAULT_BLOCK_SIZE),
+                )
             return spark.createDataFrame(
                 [(name, orig, "exists" if exists else "created")],
                 schema="scramble string, original_table string, status string",
@@ -401,7 +430,7 @@ class VerdictContext:
             dropped = 0
             for e in self.metastore.show("scramble"):
                 if e.source_table == m.group("orig"):
-                    self.metastore.drop(e.artifact_path)
+                    self._drop_entry(e)
                     dropped += 1
             return spark.createDataFrame(
                 [(m.group("orig"), dropped)],
@@ -409,7 +438,7 @@ class VerdictContext:
             )
 
         m = _DROP_RE.match(query)
-        if m and re.search(r"^\s*DROP\s+SCRAMBLE\b", query, re.IGNORECASE):
+        if m:
             name = re.sub(r"[^\w]", "_", m.group("name"))
             orig = m.group("orig")
             dropped = 0
@@ -417,7 +446,7 @@ class VerdictContext:
                 if os.path.basename(e.artifact_path) == name and (
                     orig is None or e.source_table == orig
                 ):
-                    self.metastore.drop(e.artifact_path)
+                    self._drop_entry(e)
                     dropped += 1
             return spark.createDataFrame(
                 [(name, dropped)], schema="scramble string, dropped int"
@@ -440,18 +469,85 @@ class VerdictContext:
             new_rows = self.spark.table(entry.source_table).where(
                 F.expr(m.group("where"))
             )
-            assigned = append_scramble(new_rows, meta)
-            n = assigned.count()
             # statistically compatible by construction (stored CDFs +
             # deterministic hashes); physically an append of new
-            # block-partition files
+            # block-partition files.  Repartition on the block column
+            # (as write_scramble does) so the append adds one file per
+            # touched block, not tasks x blocks small files; persist so
+            # the count and the write share one evaluation.
+            assigned = (
+                append_scramble(new_rows, meta)
+                .repartition(meta.nblocks, F.col(BLOCK_COL))
+                .persist()
+            )
+            n = assigned.count()
             assigned.write.mode("append").partitionBy(BLOCK_COL).parquet(
                 entry.artifact_path
             )
+            assigned.unpersist()
             return spark.createDataFrame(
                 [(name, n)], schema="scramble string, appended_rows long"
             )
+
+        if re.match(
+            r"^\s*(?:CREATE|DROP|APPEND|INSERT)\s+(?:ALL\s+)?SCRAMBLES?\b",
+            query, re.IGNORECASE,
+        ):
+            # scramble-DDL prefix but no statement form matched: raise a
+            # DDL-layer error instead of handing Spark a statement it
+            # cannot parse (the documented contract)
+            raise ValueError(
+                f"malformed scramble DDL {query.strip()[:80]!r} — expected "
+                "CREATE SCRAMBLE [IF NOT EXISTS] <name> FROM <table> "
+                "[WHERE ...] [METHOD m] [HASHCOLUMN|ON col] [SIZE p] "
+                "[BLOCKSIZE n] | APPEND SCRAMBLE <name> WHERE <cond> | "
+                "DROP SCRAMBLE <name> [ON <table>] | DROP ALL SCRAMBLES "
+                "<table> | SHOW SCRAMBLES"
+            )
         return None
+
+    def _drop_entry(self, entry) -> None:
+        """DROP SCRAMBLE drops the scramble TABLE (reference semantics):
+        registry entry AND the persisted artifact, so the name can be
+        re-created."""
+        import shutil
+
+        self.metastore.drop(entry.artifact_path)
+        shutil.rmtree(entry.artifact_path, ignore_errors=True)
+
+    def _build_and_register(
+        self,
+        path: str,
+        source_table: str,
+        df: DataFrame,
+        method: str = "uniform",
+        column: str | None = None,
+        nblocks: int | None = None,
+        size: float = 1.0,
+        seed: int = 42,
+        block_size: int = DEFAULT_BLOCK_SIZE,
+        nrows: int | None = None,
+        **kwargs,
+    ) -> None:
+        """The single build + persist + register sequence behind both
+        the ``create_scramble`` API and the CREATE SCRAMBLE DDL."""
+        if method == "fastconverge":
+            if not column:
+                raise ValueError(
+                    "METHOD fastconverge needs an outlier column "
+                    "(HASHCOLUMN/ON <col> in DDL, column= in the API)"
+                )
+            sdf, meta = create_fastconverge_scramble(
+                df, outlier_column=column, nblocks=nblocks, seed=seed,
+                block_size=block_size, **kwargs,
+            )
+        else:
+            sdf, meta = create_scramble(
+                df, method=method, column=column, nblocks=nblocks,
+                size=size, seed=seed, nrows=nrows, block_size=block_size,
+            )
+        write_scramble(sdf, meta, path)
+        self.metastore.register("scramble", source_table, path, meta.to_json())
 
     # -------------------------------------------------------- planning
     def _plan(self, query: str) -> _Plan | None:
@@ -612,6 +708,31 @@ class VerdictContext:
         plan = self._plan(query)
         if plan is None:
             raise Unsupported("no registered scramble for STREAM query")
+        renames = plan.group_renames
+        for res in self._progression(plan):
+            if renames:
+                if res.estimates_sdf is not None:
+                    res = ProgressiveResult(
+                        estimates_sdf=res.estimates_sdf.withColumnsRenamed(renames),
+                        coverage=res.coverage,
+                        blocks_covered=res.blocks_covered,
+                        iteration=res.iteration,
+                        is_exact=res.is_exact,
+                    )
+                else:
+                    res = ProgressiveResult(
+                        estimates=res.estimates.rename(columns=renames),
+                        coverage=res.coverage,
+                        blocks_covered=res.blocks_covered,
+                        iteration=res.iteration,
+                        is_exact=res.is_exact,
+                    )
+            yield res
+
+    # ------------------------------------------------------- execution
+    def _progression(self, plan: _Plan):
+        """The single 1/2/N-scramble progressive dispatch shared by
+        ``stream()`` and ``_execute``."""
         tf = self._transform_of(plan)
         kw = self._exec_kwargs()
         ekw = {
@@ -622,26 +743,24 @@ class VerdictContext:
             from .sampling.progressive import progressive_agg
 
             sdf, meta = plan.scrambles[0]
-            yield from progressive_agg(
+            return progressive_agg(
                 sdf, meta, plan.aggs, plan.group_cols, transform=tf, **ekw
             )
-        elif len(plan.scrambles) == 2:
+        if len(plan.scrambles) == 2:
             from .sampling.join import progressive_join_agg
 
             (s1, m1), (s2, m2) = plan.scrambles
-            yield from progressive_join_agg(
+            return progressive_join_agg(
                 s1, m1, s2, m2, plan.scramble_on[0], plan.aggs,
                 plan.group_cols, transform=tf, **ekw,
             )
-        else:
-            from .sampling.join import progressive_multi_join_agg
+        from .sampling.join import progressive_multi_join_agg
 
-            yield from progressive_multi_join_agg(
-                plan.scrambles, plan.scramble_on, plan.aggs, plan.group_cols,
-                transform=tf, **ekw,
-            )
+        return progressive_multi_join_agg(
+            plan.scrambles, plan.scramble_on, plan.aggs, plan.group_cols,
+            transform=tf, **ekw,
+        )
 
-    # ------------------------------------------------------- execution
     def _transform_of(self, plan: _Plan):
         p = plan.parsed
 
@@ -663,30 +782,16 @@ class VerdictContext:
     def _execute(
         self, plan: _Plan, early_stop: bool, with_errors: bool
     ) -> DataFrame:
+        from .sampling.progressive import fold_progressive
+
         p = plan.parsed
-        tf = self._transform_of(plan)
         kw = self._exec_kwargs()
-        if len(plan.scrambles) == 1:
-            sdf, meta = plan.scrambles[0]
-            res = approx_agg(
-                sdf, meta, plan.aggs, plan.group_cols,
-                transform=tf, early_stop=early_stop, **kw,
-            )
-        elif len(plan.scrambles) == 2:
-            from .sampling.join import approx_join_agg
-
-            (s1, m1), (s2, m2) = plan.scrambles
-            res = approx_join_agg(
-                s1, m1, s2, m2, plan.scramble_on[0], plan.aggs, plan.group_cols,
-                transform=tf, early_stop=early_stop, **kw,
-            )
-        else:
-            from .sampling.join import approx_multi_join_agg
-
-            res = approx_multi_join_agg(
-                plan.scrambles, plan.scramble_on, plan.aggs, plan.group_cols,
-                transform=tf, early_stop=early_stop, **kw,
-            )
+        res = fold_progressive(
+            self._progression(plan), plan.aggs, plan.group_cols,
+            early_stop=early_stop,
+            value_threshold=kw["value_threshold"],
+            group_threshold=kw["group_threshold"],
+        )
 
         pdf = res.estimates
         if plan.group_renames:

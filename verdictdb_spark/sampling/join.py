@@ -46,7 +46,7 @@ from .progressive import (
     _estimate,
     _estimate_spark,
     _partial_exprs,
-    converged_result,
+    fold_progressive,
 )
 from .scramble import BLOCK_COL, TIER_COL, ScrambleMeta
 
@@ -309,23 +309,17 @@ def approx_join_agg(
 ) -> ProgressiveResult:
     """Run the join progression until the difference-based stop rule
     fires (or the block plane is fully covered)."""
-    prev: ProgressiveResult | None = None
-    aliases = [a.alias for a in aggs]
-    for res in progressive_join_agg(
-        scramble1, meta1, scramble2, meta2, on, aggs, group_by, transform,
-        engine=engine, engine_threshold=engine_threshold,
-    ):
-        if early_stop and prev is not None and converged_result(
-            prev, res, group_by, aliases, value_threshold, group_threshold
-        ):
-            return res
-        prev = res
-    if prev is None:
-        raise ValueError(
+    return fold_progressive(
+        progressive_join_agg(
+            scramble1, meta1, scramble2, meta2, on, aggs, group_by, transform,
+            engine=engine, engine_threshold=engine_threshold,
+        ),
+        aggs, group_by, early_stop, value_threshold, group_threshold,
+        empty_message=(
             "no block pairs produced rows (empty scrambles or an "
             "everything-filtering transform) — nothing to estimate"
-        )
-    return prev
+        ),
+    )
 
 
 # ===================================================== N-way chain joins
@@ -569,17 +563,11 @@ def approx_multi_join_agg(
 ) -> ProgressiveResult:
     """Run the N-way chain-join progression with the difference-based
     early stop (or to full hypercube coverage)."""
-    prev: ProgressiveResult | None = None
-    aliases = [a.alias for a in aggs]
-    for res in progressive_multi_join_agg(
-        scrambles, on, aggs, group_by, transform,
-        engine=engine, engine_threshold=engine_threshold,
-    ):
-        if early_stop and prev is not None and converged_result(
-            prev, res, group_by, aliases, value_threshold, group_threshold
-        ):
-            return res
-        prev = res
-    if prev is None:
-        raise ValueError("no block tuples produced rows — nothing to estimate")
-    return prev
+    return fold_progressive(
+        progressive_multi_join_agg(
+            scrambles, on, aggs, group_by, transform,
+            engine=engine, engine_threshold=engine_threshold,
+        ),
+        aggs, group_by, early_stop, value_threshold, group_threshold,
+        empty_message="no block tuples produced rows — nothing to estimate",
+    )

@@ -663,6 +663,32 @@ def converged(
     return True
 
 
+def fold_progressive(
+    results: Iterator[ProgressiveResult],
+    aggs: Sequence[AggSpec],
+    group_by: Sequence[str],
+    early_stop: bool = True,
+    value_threshold: float = 0.02,
+    group_threshold: float = 0.05,
+    empty_message: str = "no blocks produced rows — nothing to estimate",
+) -> ProgressiveResult:
+    """Fold a progressive iterator to its final snapshot: stop at the
+    difference-based rule (engine-aware) or run to exhaustion.  The
+    single folding loop shared by every approx_* driver and the SQL
+    front door."""
+    prev: ProgressiveResult | None = None
+    aliases = [a.alias for a in aggs]
+    for res in results:
+        if early_stop and prev is not None and converged_result(
+            prev, res, group_by, aliases, value_threshold, group_threshold
+        ):
+            return res
+        prev = res
+    if prev is None:
+        raise ValueError(empty_message)
+    return prev
+
+
 def approx_agg(
     scramble: DataFrame,
     meta: ScrambleMeta,
@@ -684,20 +710,14 @@ def approx_agg(
     always runs to the full block prefix (the reference's own oracle
     mode: full coverage of a full-size scramble == exact).
     """
-    prev: ProgressiveResult | None = None
-    aliases = [a.alias for a in aggs]
-    for res in progressive_agg(
-        scramble, meta, aggs, group_by, schedule, transform,
-        engine=engine, engine_threshold=engine_threshold,
-    ):
-        if early_stop and prev is not None and converged_result(
-            prev, res, group_by, aliases, value_threshold, group_threshold
-        ):
-            return res
-        prev = res
-    if prev is None:
-        raise ValueError(
+    return fold_progressive(
+        progressive_agg(
+            scramble, meta, aggs, group_by, schedule, transform,
+            engine=engine, engine_threshold=engine_threshold,
+        ),
+        aggs, group_by, early_stop, value_threshold, group_threshold,
+        empty_message=(
             "no blocks produced rows (empty scramble, or transform/where "
             "filtered out everything) — nothing to estimate"
-        )
-    return prev
+        ),
+    )
