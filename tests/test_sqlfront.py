@@ -565,3 +565,33 @@ def test_stream_applies_select_aliases(ctx, lineitem):
         )
     )
     assert "f" in results[-1].estimates.columns
+
+
+def test_get_spark_native_key_round_trips(ctx, spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ctx.sql("SET spark.sql.shuffle.partitions = 9")
+        got = ctx.sql("GET spark.sql.shuffle.partitions").first()["value"]
+        assert got == "9"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_set_mixed_case_key_takes_effect(ctx):
+    ctx.sql("SET Verdictdb.Value_Threshold = 0.03")
+    assert ctx.conf["verdictdb.value_threshold"] == "0.03"
+    assert ctx._exec_kwargs()["value_threshold"] == 0.03
+    ctx.sql("SET verdictdb.value_threshold = 0.02")
+
+
+def test_set_error_hint_names_choices(ctx):
+    with pytest.raises(ValueError, match="auto\\|driver\\|spark"):
+        ctx.sql("SET verdictdb.engine = warp")
+
+
+def test_create_where_parenthesized_keyword_column(spark, tmp_path, lineitem):
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.createOrReplaceTempView("li_paren")
+    c.sql("CREATE SCRAMBLE p FROM li_paren WHERE (l_quantity > 10)")
+    n = c.sql("SELECT count(*) AS n FROM li_paren", early_stop=False).first()["n"]
+    assert n == pytest.approx(lineitem.where("l_quantity > 10").count())

@@ -88,14 +88,15 @@ def _parse_create_options(rest: str) -> dict:
     """WHERE / METHOD / HASHCOLUMN|ON / SIZE|RATIO / BLOCKSIZE options
     of a CREATE SCRAMBLE statement (any order after FROM).
 
-    The WHERE clause's extent is located on STRING-MASKED text so an
-    option keyword inside a literal (``WHERE note = 'on time'``) never
-    truncates the predicate; leftover unrecognized text raises instead
-    of being silently dropped."""
+    The WHERE clause's extent is located on text with string literals
+    AND parenthesized subexpressions masked, so an option keyword
+    inside a literal (``WHERE note = 'on time'``) or inside parens
+    (``WHERE (size > 10)``) never truncates the predicate; leftover
+    unrecognized text raises instead of being silently dropped."""
     from .sqlparse import _mask
 
     opts: dict = {}
-    masked = _mask(rest, keep_depth0_only=False)
+    masked = _mask(rest, keep_depth0_only=True)
     wm = re.search(r"\bWHERE\b", masked, re.IGNORECASE)
     if wm:
         after = masked[wm.end():]
@@ -135,10 +136,13 @@ def _parse_create_options(rest: str) -> dict:
 
 
 _CONF_VALIDATORS = {
-    "verdictdb.value_threshold": float,
-    "verdictdb.group_threshold": float,
-    "verdictdb.engine_threshold": lambda v: int(float(v)),
-    "verdictdb.engine": lambda v: {"auto": 1, "driver": 1, "spark": 1}[v],
+    "verdictdb.value_threshold": (float, "a number"),
+    "verdictdb.group_threshold": (float, "a number"),
+    "verdictdb.engine_threshold": (lambda v: int(float(v)), "an integer"),
+    "verdictdb.engine": (
+        lambda v: {"auto": 1, "driver": 1, "spark": 1}[v],
+        "one of auto|driver|spark",
+    ),
 }
 
 
@@ -321,19 +325,19 @@ class VerdictContext:
             return self.spark.sql(m.group(1))
         m = _SET_RE.match(query)
         if m:
-            key, val = m.group(1), m.group(2).strip()
-            if not key.lower().startswith("verdictdb."):
+            key, val = m.group(1).lower(), m.group(2).strip()
+            if not key.startswith("verdictdb."):
                 # Spark-native SET (spark.sql.*, session vars) passes
                 # through untouched — only verdictdb.* keys are ours
                 return self.spark.sql(query)
-            check = _CONF_VALIDATORS.get(key.lower())
-            if check is not None:
+            entry = _CONF_VALIDATORS.get(key)
+            if entry is not None:
+                check, hint = entry
                 try:
                     check(val)
                 except Exception:
                     raise ValueError(
-                        f"invalid value {val!r} for {key} "
-                        f"(expected {getattr(check, '__name__', 'one of auto|driver|spark')})"
+                        f"invalid value {val!r} for {key} (expected {hint})"
                     )
             self.conf[key] = val
             return self.spark.createDataFrame(
@@ -341,9 +345,14 @@ class VerdictContext:
             )
         m = _GET_RE.match(query)
         if m:
-            key = m.group(1)
+            key = m.group(1).lower()
+            if key.startswith("verdictdb."):
+                val = self.conf.get(key)
+            else:
+                # round-trip with the SET passthrough: read live Spark conf
+                val = self.spark.conf.get(m.group(1), None)
             return self.spark.createDataFrame(
-                [(key, self.conf.get(key))], schema="key string, value string"
+                [(m.group(1), val)], schema="key string, value string"
             )
         m = _STREAM_RE.match(query)
         if m:
@@ -710,24 +719,7 @@ class VerdictContext:
             raise Unsupported("no registered scramble for STREAM query")
         renames = plan.group_renames
         for res in self._progression(plan):
-            if renames:
-                if res.estimates_sdf is not None:
-                    res = ProgressiveResult(
-                        estimates_sdf=res.estimates_sdf.withColumnsRenamed(renames),
-                        coverage=res.coverage,
-                        blocks_covered=res.blocks_covered,
-                        iteration=res.iteration,
-                        is_exact=res.is_exact,
-                    )
-                else:
-                    res = ProgressiveResult(
-                        estimates=res.estimates.rename(columns=renames),
-                        coverage=res.coverage,
-                        blocks_covered=res.blocks_covered,
-                        iteration=res.iteration,
-                        is_exact=res.is_exact,
-                    )
-            yield res
+            yield res.renamed(renames)
 
     # ------------------------------------------------------- execution
     def _progression(self, plan: _Plan):

@@ -90,6 +90,20 @@ class ProgressiveResult:
             self._pdf = self.estimates_sdf.toPandas()
         return self._pdf
 
+    def renamed(self, mapping: dict[str, str]) -> "ProgressiveResult":
+        """Copy with estimate columns renamed (whichever engine holds
+        them) — every other field carries over."""
+        if not mapping:
+            return self
+        out = ProgressiveResult.__new__(ProgressiveResult)
+        out.__dict__.update(self.__dict__)
+        if self.estimates_sdf is not None:
+            out.estimates_sdf = self.estimates_sdf.withColumnsRenamed(mapping)
+            out._pdf = None if self._pdf is None else self._pdf.rename(columns=mapping)
+        else:
+            out._pdf = self._pdf.rename(columns=mapping)
+        return out
+
 
 def _partial_exprs(aggs: Sequence[AggSpec]) -> list:
     """Decompose to mergeable partials (mirrors
