@@ -65,14 +65,16 @@ def main() -> None:
     for name in reg:
         run(name, lambda n=name: reg[n](spark, SF_DIR).collect())
     # this sandbox's CPU delivery swings 2-3x between minutes (measured:
-    # the same dedup query 6.9s vs 43s in back-to-back sessions); for
-    # entries slow enough for that to distort, re-measure once and keep
-    # the min so round-over-round numbers reflect the code, not the tide
-    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
-        if t > 3.0:
+    # the same dedup query 6.9s vs 43s in back-to-back sessions).
+    # Best-of-3 for EVERY entry — the round-3 single-shot policy made
+    # sub-3s entries unreproducible round-over-round (±90% "deltas"
+    # with no code change); min-of-3 makes the numbers reflect the
+    # code, not the tide, and the whole bench is cheap enough for 3x.
+    for _ in range(2):
+        for name in sorted(times, key=lambda n: -times[n]):
             t0 = time.monotonic()
             reg[name](spark, SF_DIR).collect()
-            times[name] = round(min(t, time.monotonic() - t0), 3)
+            times[name] = round(min(times[name], time.monotonic() - t0), 3)
 
     # -- north-rule throughput: sketch build + merge on the code table -------
     nparts = max(int(CPUS) if CPUS.isdigit() else 32, 8)

@@ -101,10 +101,12 @@ def test_parse_group_by_ordinal():
 
 
 def test_parse_rejects_outer_join_and_subquery():
+    # LEFT parses as of round 4 (planner enforces sides); RIGHT/FULL
+    # and WHERE subqueries stay exact-fallback
     with pytest.raises(Unsupported):
-        parse_select("SELECT count(*) FROM a LEFT JOIN b ON a.x = b.y")
+        parse_select("SELECT count(*) FROM a RIGHT JOIN b ON a.x = b.y")
     with pytest.raises(Unsupported):
-        parse_select("SELECT count(*) FROM (SELECT * FROM t)")
+        parse_select("SELECT count(*) FROM (SELECT * FROM t)")  # no alias
     with pytest.raises(Unsupported):
         parse_select("SELECT count(*) FROM t WHERE x IN (SELECT y FROM u)")
 
@@ -541,8 +543,10 @@ def test_set_validates_known_keys(ctx):
 def test_malformed_ddl_raises(ctx):
     with pytest.raises(ValueError, match="malformed scramble DDL"):
         ctx.sql("CREATE SCRAMBLE missing_from_clause")
-    with pytest.raises(ValueError, match="malformed scramble DDL"):
-        ctx.sql("APPEND SCRAMBLE s")  # missing WHERE
+    # predicate-less APPEND is legal as of round 4; a missing TARGET
+    # still errors at the metastore layer
+    with pytest.raises(KeyError, match="no scramble named"):
+        ctx.sql("APPEND SCRAMBLE no_such_scramble")
 
 
 def test_create_options_literal_keywords(spark, tmp_path, lineitem):

@@ -52,7 +52,7 @@ from .sampling.scramble import (
     load_scramble,
     write_scramble,
 )
-from .sqlparse import ParsedSelect, Unsupported, parse_select
+from .sqlparse import ParsedSelect, Unsupported, parse_select, parse_simple_inner
 
 # ---- scramble DDL statements (reference grammar VerdictSQLParser.g4:
 # 69-102: create/insert/drop/drop-all/show scramble statements) -------
@@ -70,7 +70,8 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _APPEND_RE = re.compile(
-    r"^\s*(?:APPEND|INSERT)\s+SCRAMBLE\s+(?P<name>[\w\.]+)\s+WHERE\s+(?P<where>[\s\S]+?)\s*;?\s*$",
+    r"^\s*(?:APPEND|INSERT)\s+SCRAMBLE\s+(?P<name>[\w\.]+)"
+    r"(?:\s+WHERE\s+(?P<where>[\s\S]+?))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _OPT_KEYWORDS = r"METHOD|HASHCOLUMN|ON|SIZE|RATIO|BLOCKSIZE"
@@ -151,11 +152,13 @@ class _Plan:
     parsed: ParsedSelect
     scrambles: list[tuple[DataFrame, ScrambleMeta]]  # chain order
     scramble_on: list[list[tuple[str, str]]]  # on[i]: chain link i -> i+1
-    dim_joins: list[tuple[DataFrame, list[tuple[str, str]]]]  # (dim, (have, dim) pairs)
+    dim_joins: list[tuple[DataFrame, list[tuple[str, str]], str]]  # (dim, pairs, how)
     aggs: list[AggSpec]
     group_cols: list[str]
     group_renames: dict[str, str]  # pdf column -> output alias
     derived: list[tuple[str, str]]  # (col name, expr text) added in transform
+    # row-local derived table over the scramble: (select items|None, where|None)
+    scramble_subq: tuple | None = None
 
 
 class VerdictContext:
@@ -293,8 +296,12 @@ class VerdictContext:
         )
 
     def approx_df(self, *args, **kwargs) -> DataFrame:
-        """``approx`` with the estimates returned as a Spark DataFrame."""
+        """``approx`` with the estimates returned as a Spark DataFrame
+        (kept distributed when the Spark estimate engine produced
+        one — no driver round trip)."""
         res = self.approx(*args, **kwargs)
+        if res.estimates_sdf is not None:
+            return res.estimates_sdf
         return self.spark.createDataFrame(res.estimates)
 
     # ------------------------------------------------------------- sql
@@ -356,9 +363,11 @@ class VerdictContext:
             )
         m = _STREAM_RE.match(query)
         if m:
-            # the reference's STREAM surface iterates every refinement;
-            # sql() returns the final one — stream() gives the iterator
-            query, early_stop = m.group(1), False
+            # the reference's STREAM surface is the result-plus-accuracy
+            # iterator (VerdictResultStream.java:17-42): sql() runs the
+            # full refinement and surfaces the <alias>_err columns on
+            # the final frame — stream() gives the per-step iterator
+            query, early_stop, with_errors = m.group(1), False, True
         ddl = self._ddl(query)
         if ddl is not None:
             return ddl
@@ -370,11 +379,17 @@ class VerdictContext:
             return self.spark.sql(query)
         try:
             return self._execute(plan, early_stop=early_stop, with_errors=with_errors)
-        except (ValueError, KeyError, AnalysisException):
+        except (ValueError, AnalysisException):
             # the registered scramble can't legally answer this shape
             # (e.g. COUNT DISTINCT on a uniform scramble), or an
             # expression failed Spark analysis under the rewrite — the
-            # contract is pass-through, not error
+            # contract is pass-through, not error.  KeyError is NOT
+            # caught: a metadata-lookup failure in the estimator is a
+            # planner bug and must surface, not silently degrade to a
+            # slow exact run.  SET verdictdb.debug = true re-raises
+            # even these, for diagnosing why a query fell back.
+            if self.conf.get("verdictdb.debug", "false").lower() in ("true", "1"):
+                raise
             return self.spark.sql(query)
 
     # ------------------------------------------------------------- DDL
@@ -475,9 +490,11 @@ class VerdictContext:
             if entry is None:
                 raise KeyError(f"no scramble named {m.group('name')!r}")
             meta = ScrambleMeta.from_json(entry.meta_json)
-            new_rows = self.spark.table(entry.source_table).where(
-                F.expr(m.group("where"))
-            )
+            new_rows = self.spark.table(entry.source_table)
+            if m.group("where") is not None:
+                # predicate optional, matching the reference's
+                # CreateScrambleQuery (no-WHERE = append everything)
+                new_rows = new_rows.where(F.expr(m.group("where")))
             # statistically compatible by construction (stored CDFs +
             # deterministic hashes); physically an append of new
             # block-partition files.  Repartition on the block column
@@ -509,7 +526,7 @@ class VerdictContext:
                 f"malformed scramble DDL {query.strip()[:80]!r} — expected "
                 "CREATE SCRAMBLE [IF NOT EXISTS] <name> FROM <table> "
                 "[WHERE ...] [METHOD m] [HASHCOLUMN|ON col] [SIZE p] "
-                "[BLOCKSIZE n] | APPEND SCRAMBLE <name> WHERE <cond> | "
+                "[BLOCKSIZE n] | APPEND SCRAMBLE <name> [WHERE <cond>] | "
                 "DROP SCRAMBLE <name> [ON <table>] | DROP ALL SCRAMBLES "
                 "<table> | SHOW SCRAMBLES"
             )
@@ -564,8 +581,27 @@ class VerdictContext:
         n = len(p.tables)
         scramble_at: dict[int, tuple[DataFrame, ScrambleMeta]] = {}
         dim_at: dict[int, DataFrame] = {}
+        subq_at: dict[int, tuple] = {}
         for i, t in enumerate(p.tables):
-            if self.metastore.lookup(t.name, kind="scramble") is not None:
+            if t.subquery is not None:
+                if t.name and self.metastore.lookup(t.name, kind="scramble") is not None:
+                    # row-local derived table over a scrambled base —
+                    # the inner filter/projection is planned into the
+                    # per-block transform (the reference lifts FROM
+                    # subqueries into dependent plan nodes,
+                    # QueryExecutionPlanFactory.java:242-345)
+                    scramble_at[i] = self.load_scramble_for(t.name)
+                    _, items, inner_where = parse_simple_inner(t.subquery)
+                    subq_at[i] = (items, inner_where)
+                else:
+                    # opaque derived table over unscrambled base(s):
+                    # execute the inner text exactly — dimensions are
+                    # exact by definition
+                    try:
+                        dim_at[i] = self.spark.sql(t.subquery)
+                    except AnalysisException:
+                        raise Unsupported(f"unresolvable derived table {t.alias!r}")
+            elif self.metastore.lookup(t.name, kind="scramble") is not None:
                 scramble_at[i] = self.load_scramble_for(t.name)
             else:
                 try:
@@ -574,14 +610,39 @@ class VerdictContext:
                     raise Unsupported(f"unresolvable table {t.name!r}")
         if not scramble_at:
             return None  # nothing to substitute — plain exact SQL
+        if subq_at and (len(scramble_at) > 1 or len(subq_at) > 1):
+            raise Unsupported("derived table over a scramble in a scramble join")
+
+        # join-type constraints: LEFT is rewritable only when the
+        # null-producing (attached, right) side is an unscrambled
+        # dimension — the probe rows' inclusion probabilities are
+        # unchanged by null-extension.  Outer semantics are order-
+        # sensitive, so the plan must then apply joins in FROM order,
+        # which is guaranteed below only for the single-scramble-first
+        # shape.
+        how_at = {i + 1: j.how for i, j in enumerate(p.joins)}
+        has_outer = any(h != "inner" for h in how_at.values())
+        if has_outer:
+            for ti, h in how_at.items():
+                if h != "inner" and ti in scramble_at:
+                    raise Unsupported(
+                        "scramble on the null-producing side of an outer join"
+                    )
+            if len(scramble_at) != 1 or 0 not in scramble_at:
+                raise Unsupported(
+                    "outer join requires the single scramble first in FROM"
+                )
 
         # column ownership (internal scramble columns excluded)
         owner: dict[str, int] = {}
         ambiguous: set[str] = set()
         cols_of: dict[int, set[str]] = {}
         for i in range(n):
-            df = scramble_at[i][0] if i in scramble_at else dim_at[i]
-            cols = {c for c in df.columns if c not in (TIER_COL, BLOCK_COL)}
+            if i in subq_at and subq_at[i][0] is not None:
+                cols = {a for _, a in subq_at[i][0]}
+            else:
+                df = scramble_at[i][0] if i in scramble_at else dim_at[i]
+                cols = {c for c in df.columns if c not in (TIER_COL, BLOCK_COL)}
             cols_of[i] = cols
             for c in cols:
                 if c in owner:
@@ -639,18 +700,26 @@ class VerdictContext:
         # join would make F.expr references ambiguous
         covered = set(scr_order)
         covered_cols = set().union(*(cols_of[i] for i in scr_order)) if scr_order else set()
-        dim_joins: list[tuple[DataFrame, list[tuple[str, str]]]] = []
+        dim_joins: list[tuple[DataFrame, list[tuple[str, str]], str]] = []
         remaining_dims = [i for i in range(n) if i not in scramble_at]
         while remaining_dims:
             for idx, cand in enumerate(remaining_dims):
                 link = [pr for c in covered for pr in pairs_between(c, cand)]
                 if link:
+                    if has_outer and idx != 0:
+                        # outer joins don't commute with reordering —
+                        # dimensions must attach exactly in FROM order
+                        raise Unsupported(
+                            "outer join with out-of-order dimension attachment"
+                        )
                     if cols_of[cand] & covered_cols:
                         raise Unsupported(
                             f"duplicate column names across joined tables: "
                             f"{sorted(cols_of[cand] & covered_cols)[:3]}"
                         )
-                    dim_joins.append((dim_at[cand], link))
+                    dim_joins.append(
+                        (dim_at[cand], link, how_at.get(cand, "inner"))
+                    )
                     covered.add(cand)
                     covered_cols |= cols_of[cand]
                     remaining_dims.pop(idx)
@@ -692,6 +761,7 @@ class VerdictContext:
             group_cols=group_cols,
             group_renames=group_renames,
             derived=derived,
+            scramble_subq=subq_at.get(scr_order[0]),
         )
 
     def _exec_kwargs(self) -> dict:
@@ -757,12 +827,24 @@ class VerdictContext:
         p = plan.parsed
 
         def tf(batch: DataFrame) -> DataFrame:
-            for dim_df, pairs in plan.dim_joins:
+            if plan.scramble_subq is not None:
+                # row-local derived table: inner WHERE then projection
+                # (tier/block ride along — the sampling contract)
+                items, inner_where = plan.scramble_subq
+                if inner_where is not None:
+                    batch = batch.where(F.expr(inner_where))
+                if items is not None:
+                    batch = batch.select(
+                        *[F.expr(e).alias(a) for e, a in items],
+                        TIER_COL,
+                        BLOCK_COL,
+                    )
+            for dim_df, pairs, how in plan.dim_joins:
                 cond = None
                 for hc, dc in pairs:
                     c = batch[hc] == dim_df[dc]
                     cond = c if cond is None else cond & c
-                batch = batch.join(dim_df, cond)
+                batch = batch.join(dim_df, cond, how)
             if p.where is not None:
                 batch = batch.where(F.expr(p.where))
             for name, expr in plan.derived:
@@ -785,10 +867,21 @@ class VerdictContext:
             group_threshold=kw["group_threshold"],
         )
 
-        pdf = res.estimates
-        if plan.group_renames:
-            pdf = pdf.rename(columns=plan.group_renames)
-        out = self.spark.createDataFrame(pdf)
+        res = res.renamed(plan.group_renames)
+        if res.estimates_sdf is not None:
+            # the Spark estimate engine produced a distributed frame —
+            # KEEP it distributed: renames, composites, HAVING, ORDER
+            # BY and the final select are all Spark expressions, so a
+            # high-cardinality GROUP BY never round-trips O(groups)
+            # rows through the driver (the reference's
+            # SelectAsyncAggExecutionNode exists for exactly this)
+            out = res.estimates_sdf
+        else:
+            out = self.spark.createDataFrame(res.estimates)
+        for name, expr in p.composites:
+            # composite aggregate select items (sum(a)/sum(b) AS r):
+            # evaluate the residual over the estimate columns
+            out = out.withColumn(name, F.expr(expr))
         if p.having is not None:
             out = out.where(F.expr(p.having))
         if p.order_by:

@@ -340,37 +340,144 @@ def extract_features(df: DataFrame, dim: int = 64, fake: bool = False) -> DataFr
     return src.select("media_id", "data").mapInPandas(run, FEATURE_SCHEMA)
 
 
+# ------------------------------------------------------ video (AVI) codec
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> uncompressed ('DIB ') AVI.
+
+    Minimal RIFF layout: LIST hdrl (avih + LIST strl(strh 'vids'/'DIB ',
+    strf BITMAPINFOHEADER)) then LIST movi with one '00db' device-
+    independent-bitmap chunk per frame (BGR, bottom-up, 4-byte row
+    stride — the same pixel layout as the BMP codec above)."""
+    n, h, w, _ = frames.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    frame_size = (row_bytes + pad) * h
+
+    def dib(px: np.ndarray) -> bytes:
+        bgr = px[:, :, ::-1]
+        return b"".join(
+            bgr[r].tobytes() + b"\0" * pad for r in range(h - 1, -1, -1)
+        )
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\0" * (len(body) & 1))
+
+    strl = b"LIST" + struct.pack("<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(chunk(b"00db", dib(frames[i])) for i in range(n))
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Uncompressed AVI -> (width, height, [frame (h, w, 3) RGB]).
+    Compressed streams (anything but biCompression=0 / 24bpp) raise
+    ``NotImplementedError`` — swap in ffmpeg in production."""
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        while pos + 8 <= end:
+            cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)
+            elif cid == b"strf":
+                bpp = struct.unpack_from("<H", b, body + 14)[0]
+                comp = struct.unpack_from("<I", b, body + 16)[0]
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"AVI bpp={bpp} compression={comp} needs ffmpeg — "
+                        "only uncompressed 24bpp DIB decodes in-container"
+                    )
+                w, h = struct.unpack_from("<ii", b, body + 4)
+                h = abs(h)
+            elif cid in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("frame chunk before stream format")
+                row_bytes = w * 3
+                stride = row_bytes + ((-row_bytes) % 4)
+                rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=body)
+                px = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+                frames.append(px[::-1, :, ::-1].copy())  # bottom-up BGR -> RGB
+            pos = body + size + (size & 1)
+
+    walk(12, len(b))
+    if w is None:
+        raise ValueError("no video stream format (strf) found")
+    return w, h, frames
+
+
 # ------------------------------------------------------------ frames
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_total", T.IntegerType()),
         T.StructField("frame", T.BinaryType()),
     ]
 )
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
-    """video binary -> n deterministic evenly-spaced 'frames' (byte
-    slices in the stub; ffmpeg keyframes in production).  One row per
-    frame — the standard explode shape for frame-level pipelines.
-    Video containers (MP4/MKV) need ffmpeg: fake=False raises."""
+def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
+    """video binary -> up to n evenly-spaced REAL frames, each
+    re-encoded as a standalone BMP (decodable by ``decode_images`` —
+    the video -> frames -> image pipeline composes).  One row per
+    frame, ``frame_idx`` = source frame index.  Real path: the
+    uncompressed-AVI codec above (compressed containers raise with a
+    clear ffmpeg message).  ``fake=True`` keeps the deterministic
+    byte-slice stand-in for opaque-blob plumbing tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video frame extraction requires ffmpeg — not in this container"
-                )
-            ids, idxs, frames = [], [], []
+            ids, idxs, totals, frames = [], [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["data"]):
                 blob = bytes(blob)
-                step = max(len(blob) // n_frames, 1)
-                for j in range(n_frames):
+                if fake:
+                    step = max(len(blob) // n_frames, 1)
+                    for j in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(j)
+                        totals.append(n_frames)
+                        frames.append(blob[j * step : (j + 1) * step] or b"\0")
+                    continue
+                _, _, px_frames = decode_avi(blob)
+                m = len(px_frames)
+                take = np.unique(
+                    np.linspace(0, m - 1, num=min(n_frames, m)).round().astype(int)
+                )
+                for j in take:
                     ids.append(mid)
-                    idxs.append(j)
-                    frames.append(blob[j * step : (j + 1) * step] or b"\0")
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+                    idxs.append(int(j))
+                    totals.append(m)
+                    frames.append(encode_bmp(px_frames[j]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "n_total": np.array(totals, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
 
     return df.where(F.col("modality") == "video").select("media_id", "data").mapInPandas(
         run, FRAME_SCHEMA
@@ -380,8 +487,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFr
 # ------------------------------------------------------------ synthetic
 def synthetic_media(spark, rows: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL blobs: genuine 24bpp BMP
-    images and PCM WAV audio (decodable by the real codecs above);
-    video rows carry opaque bytes (container parsing stays stubbed)."""
+    images, PCM WAV audio, and uncompressed-DIB AVI video — every
+    modality decodable by the pure-numpy codecs above."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -398,8 +505,13 @@ def synthetic_media(spark, rows: int = 100, seed: int = 42) -> DataFrame:
                     samples = rng.integers(-(1 << 14), 1 << 14, size=n).astype(np.int16)
                     out.append((int(mid), "audio", encode_wav(samples), {"fmt": "wav"}))
                 else:
-                    blob = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
-                    out.append((int(mid), "video", blob, {"fmt": "raw"}))
+                    n, w, h = (
+                        int(rng.integers(3, 10)),
+                        int(rng.integers(4, 16)),
+                        int(rng.integers(4, 16)),
+                    )
+                    px = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+                    out.append((int(mid), "video", encode_avi(px), {"fmt": "avi"}))
             yield pd.DataFrame(out, columns=["media_id", "modality", "data", "meta"])
 
     return spark.range(rows).mapInPandas(gen, MEDIA_SCHEMA)

@@ -940,6 +940,153 @@ FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
 """
 
 
+def sql_highcard_front_door(spark, sf_dir):
+    """The HIGHCARD query as SQL TEXT through ``ctx.sql()`` with the
+    Spark estimate engine: renames, HAVING/ORDER BY and the final
+    select stay Spark expressions on ``estimates_sdf`` — no
+    toPandas/createDataFrame round trip of O(groups) rows (round-3
+    verdict item #1; the reference's SelectAsyncAggExecutionNode vs
+    AsyncAggExecutionNode split).  Full coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    ctx.sql("SET verdictdb.engine = spark")
+    try:
+        out = ctx.sql(
+            """SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS cnt
+               FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+            early_stop=False,
+        )
+    finally:
+        ctx.sql("SET verdictdb.engine = auto")
+    return out.select(
+        "l_orderkey",
+        F.round("sum_qty").cast("long").alias("sum_qty"),
+        F.round("cnt").cast("long").alias("cnt"),
+    ).orderBy("l_orderkey")
+
+
+SQL_HIGHCARD_SQL = HIGHCARD_SQL
+
+
+def sql_ratio_front_door(spark, sf_dir):
+    """Composite aggregate expressions through the front door:
+    ``sum(a)/sum(b)``, ``100*avg(x)``, ``count(*)+1`` — each top-level
+    agg call is decomposed to a partial alias and the residual is
+    evaluated over the estimate frame (round-3 verdict item #2; the
+    reference rebuilds arbitrary expressions around decomposed
+    partials, AsyncAggExecutionNode.replaceColumnWithAggMeta:565-639).
+    Money through integer cents; ratios rounded for cross-engine
+    determinism.  Full coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    out = ctx.sql(
+        """SELECT l_returnflag,
+                  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                      / sum(l_quantity) AS cents_per_qty,
+                  100 * avg(l_discount) AS disc_pct,
+                  count(*) + 1 AS cnt1
+           FROM lineitem
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        early_stop=False,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("cents_per_qty", 6).alias("cents_per_qty"),
+        F.round("disc_pct", 4).alias("disc_pct"),
+        F.round("cnt1").cast("long").alias("cnt1"),
+    ).orderBy("l_returnflag")
+
+
+SQL_RATIO_SQL = """
+SELECT l_returnflag,
+       round(CAST(sum(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS DOUBLE)
+             / sum(l_quantity), 6) AS cents_per_qty,
+       round(100 * avg(l_discount), 4) AS disc_pct,
+       count(*) + 1 AS cnt1
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def sql_leftjoin_front_door(spark, sf_dir):
+    """Scrambled lineitem LEFT JOIN a FILTERED orders dimension: the
+    probe side carries the scramble, so per-row inclusion
+    probabilities are unchanged by null-extension (round-3 verdict
+    item #5; reference JoinTable.java JoinType, grammar
+    VerdictSQLParser.g4:512-521).  ``count(o_orderkey)`` <
+    ``count(*)`` proves the join really null-extends.  Full
+    coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 150000
+    ).createOrReplaceTempView("orders_hot")
+    out = ctx.sql(
+        """SELECT l_returnflag,
+                  count(*) AS n_rows,
+                  count(o_orderkey) AS n_matched,
+                  sum(l_quantity) AS sum_qty
+           FROM lineitem LEFT JOIN orders_hot ON l_orderkey = o_orderkey
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        early_stop=False,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("n_rows").cast("long").alias("n_rows"),
+        F.round("n_matched").cast("long").alias("n_matched"),
+        F.round("sum_qty").cast("long").alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+SQL_LEFTJOIN_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(o_orderkey) AS n_matched,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) orders_hot
+  ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def sql_subquery_front_door(spark, sf_dir):
+    """FROM derived table over the scrambled base: the inner
+    filter+projection is row-local, so it plans into the per-block
+    transform (round-3 verdict item #6; the reference lifts FROM
+    subqueries into dependent plan nodes,
+    QueryExecutionPlanFactory.java:242-345).  Full coverage ==
+    exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    out = ctx.sql(
+        """SELECT flag, count(*) AS cnt, sum(qty2) AS sum_qty2
+           FROM (SELECT l_returnflag AS flag, l_quantity * 2 AS qty2
+                 FROM lineitem WHERE l_quantity > 10) x
+           GROUP BY flag ORDER BY flag""",
+        early_stop=False,
+    )
+    return out.select(
+        "flag",
+        F.round("cnt").cast("long").alias("cnt"),
+        F.round("sum_qty2").cast("long").alias("sum_qty2"),
+    ).orderBy("flag")
+
+
+SQL_SUBQUERY_SQL = """
+SELECT flag, count(*) AS cnt, CAST(round(sum(qty2)) AS BIGINT) AS sum_qty2
+FROM (SELECT l_returnflag AS flag, l_quantity * 2 AS qty2
+      FROM lineitem WHERE l_quantity > 10) x
+GROUP BY flag ORDER BY flag
+"""
+
+
 # ===================================================== training-data ops
 def dedup_exact_documents(spark, sf_dir):
     """Exact dedup over a constructed duplicate-bearing input."""
@@ -1238,6 +1385,29 @@ def multimodal_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def multimodal_frames(spark, sf_dir):
+    """Video frame sampling over REAL uncompressed-AVI containers
+    (round-3 verdict item #9: the last stub retired): sample_frames
+    parses the RIFF/AVI structure, picks evenly spaced frames,
+    re-encodes each as BMP, and decode_images re-decodes them — the
+    video -> frames -> image pipeline composes on genuine bytes
+    end-to-end.  No oracle: binary media is outside DuckDB."""
+    _prep(spark)
+    from .operators.multimodal import decode_images, sample_frames, synthetic_media
+
+    media = synthetic_media(spark, rows=300)
+    frames = sample_frames(media, n_frames=3)
+    as_images = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("frame").alias("data"),
+    )
+    return decode_images(as_images, fake=False).select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_pixel", 4).alias("mean_px"),
+    ).orderBy("media_id")
+
+
 # =============================================================== registry
 def queries() -> dict[str, Query]:
     return {
@@ -1267,6 +1437,10 @@ def queries() -> dict[str, Query]:
         "sql_join_front_door": sql_join_front_door,
         "sql_countdistinct_front_door": sql_countdistinct_front_door,
         "approx_highcard_groupby": approx_highcard_groupby,
+        "sql_highcard_front_door": sql_highcard_front_door,
+        "sql_ratio_front_door": sql_ratio_front_door,
+        "sql_leftjoin_front_door": sql_leftjoin_front_door,
+        "sql_subquery_front_door": sql_subquery_front_door,
         "approx_early_stop": approx_early_stop,
         "bloom_semi_join_count": bloom_semi_join_count,
         "dedup_exact_documents": dedup_exact_documents,
@@ -1279,6 +1453,7 @@ def queries() -> dict[str, Query]:
         "embedding_exact_dup_pairs": embedding_exact_dup_pairs,
         "winnowing_documents": winnowing_documents,
         "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
     }
 
 
@@ -1307,6 +1482,10 @@ def oracle_sql() -> dict[str, str]:
         "sql_join_front_door": SQL_JOIN_SQL,
         "sql_countdistinct_front_door": SQL_CD_SQL,
         "approx_highcard_groupby": HIGHCARD_SQL,
+        "sql_highcard_front_door": SQL_HIGHCARD_SQL,
+        "sql_ratio_front_door": SQL_RATIO_SQL,
+        "sql_leftjoin_front_door": SQL_LEFTJOIN_SQL,
+        "sql_subquery_front_door": SQL_SUBQUERY_SQL,
         "bloom_semi_join_count": BLOOM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "simhash_pairs_documents": SIMHASH_SQL,

@@ -451,6 +451,26 @@ def _estimate_spark(
     return agged.select(*sel)
 
 
+def _lift_partials(spark, pdfs: list[pd.DataFrame], template: DataFrame) -> DataFrame:
+    """Upload driver-accumulated partial chunks into a DataFrame with
+    the partial table's own schema.  ``toPandas`` coerces nullable
+    integer columns to float64 (NaN for NULL), so a schema'd
+    ``createDataFrame`` would reject them — instead the frame is
+    uploaded with inferred types and each column is ``try_cast`` back
+    to the template type (NaN -> NULL, which is what the NaN meant).
+    Raises on uninferable all-NULL object columns; the caller falls
+    back to a rescan in that case."""
+    pdf = pd.concat(pdfs, ignore_index=True)
+    sdf = spark.createDataFrame(pdf)
+    by_name = {f.name: f.dataType for f in template.schema.fields}
+    return sdf.select(
+        *[
+            sdf[c].try_cast(by_name[c]).alias(c) if c in by_name else sdf[c]
+            for c in sdf.columns
+        ]
+    )
+
+
 def converged_sdf(
     prev: DataFrame,
     cur: DataFrame,
@@ -585,28 +605,36 @@ def progressive_agg(
             if len(pdf):
                 acc.append(pdf)
                 total_rows += len(pdf)
-            if (
-                engine == "auto"
-                and total_rows > engine_threshold
-                and meta.coverage(hi, 0) <= 0.5
-            ):
-                # switch to the Spark engine: RE-AGGREGATE the covered
-                # prefix in one partition-pruned Spark job rather than
-                # round-tripping the collected pandas partials back up
-                # (Arrow nullable-int -> float64 coercion would reject
-                # the original schema).  The coverage guard bounds the
-                # rescan: past half coverage the driver already holds
-                # the frame, remaining growth is the same order, and a
-                # rescan would redo most of the work — stay driver.
+            if engine == "auto" and total_rows > engine_threshold:
+                # switch to the Spark engine.  Early crossing (<= half
+                # coverage): RE-AGGREGATE the covered prefix in one
+                # partition-pruned Spark job — cheap, and sidesteps the
+                # Arrow nullable-int -> float64 coercion of the
+                # collected chunks.  Late crossing (past half coverage,
+                # where a rescan would redo most of the work): LIFT the
+                # accumulated driver chunks into a DataFrame instead —
+                # either way the driver never keeps growing an
+                # O(groups x blocks) frame once the threshold fires.
                 use_spark = True
-                prefix = scramble.where(F.col(BLOCK_COL).between(0, hi))
-                if transform is not None:
-                    prefix = transform(prefix)
-                acc_sdf = (
-                    prefix.groupBy(*group_by, TIER_COL, BLOCK_COL)
-                    .agg(*partial_exprs)
-                    .localCheckpoint(eager=True)
-                )
+                lifted = None
+                if meta.coverage(hi, 0) > 0.5 and acc:
+                    try:
+                        lifted = _lift_partials(
+                            scramble.sparkSession, acc, agg_df
+                        ).localCheckpoint(eager=True)
+                    except Exception:
+                        lifted = None  # uninferable chunk — rescan below
+                if lifted is not None:
+                    acc_sdf = lifted
+                else:
+                    prefix = scramble.where(F.col(BLOCK_COL).between(0, hi))
+                    if transform is not None:
+                        prefix = transform(prefix)
+                    acc_sdf = (
+                        prefix.groupBy(*group_by, TIER_COL, BLOCK_COL)
+                        .agg(*partial_exprs)
+                        .localCheckpoint(eager=True)
+                    )
                 acc = []
         else:
             nxt = agg_df if acc_sdf is None else acc_sdf.unionByName(agg_df)

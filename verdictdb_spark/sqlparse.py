@@ -87,14 +87,16 @@ def norm_expr(t: str) -> str:
 # ----------------------------------------------------------- structures
 @dataclass
 class TableRef:
-    name: str  # as written (possibly schema-qualified)
+    name: str  # as written (possibly schema-qualified); "" for an opaque derived table
     alias: str  # alias if given, else the unqualified name
+    subquery: str | None = None  # inner SELECT text for a derived table
 
 
 @dataclass
 class JoinClause:
     table: TableRef
     pairs: list[tuple[str, str]]  # equi pairs (left_text, right_text), qualifiers stripped
+    how: str = "inner"  # inner | left (grammar VerdictSQLParser.g4:512-521)
 
 
 @dataclass
@@ -125,6 +127,11 @@ class ParsedSelect:
     select_order: list[str]  # output column names in select-list order
     agg_items: list[AggItem] = field(default_factory=list)
     group_items: list[GroupItem] = field(default_factory=list)
+    # composite aggregate select items (sum(a)/sum(b) AS ratio): residual
+    # expression text with every agg call replaced by its (possibly
+    # hidden) agg alias — evaluated over the estimate frame
+    # (AsyncAggExecutionNode.replaceColumnWithAggMeta:565-639)
+    composites: list[tuple[str, str]] = field(default_factory=list)  # (alias, expr)
     where: str | None = None
     having: str | None = None  # agg calls already rewritten to aliases
     order_by: list[OrderItem] = field(default_factory=list)
@@ -175,6 +182,41 @@ _JOIN_RE = re.compile(
 
 def _parse_table_ref(text: str) -> TableRef:
     text = text.strip()
+    if text.startswith("("):
+        # derived table: (SELECT ...) alias — the balanced close paren
+        # is found with literal-awareness so ')' inside a string never
+        # terminates the body (QueryExecutionPlanFactory.java:242-345
+        # lifts these into dependent plan nodes; here the inner text is
+        # either row-local — planned into the per-block transform — or
+        # opaque, executed exactly as a dimension)
+        depth, in_str, close = 0, None, -1
+        for i, ch in enumerate(text):
+            if in_str is not None:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"', "`"):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close < 0:
+            raise Unsupported("unbalanced derived table")
+        inner = text[1:close].strip()
+        m = re.fullmatch(r"(?:AS\s+)?(\w+)", text[close + 1 :].strip(), re.IGNORECASE)
+        if not m:
+            raise Unsupported("derived table requires an alias")
+        if not re.match(r"^\s*select\b", inner, re.IGNORECASE):
+            raise Unsupported("non-SELECT derived table")
+        base = ""
+        try:
+            base = parse_simple_inner(inner)[0]
+        except Unsupported:
+            pass  # opaque derived table — base stays ""
+        return TableRef(name=base, alias=m.group(1), subquery=inner)
     if "(" in text:
         raise Unsupported("subquery in FROM")
     m = re.fullmatch(r"([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?", text, re.IGNORECASE)
@@ -184,6 +226,47 @@ def _parse_table_ref(text: str) -> TableRef:
     if alias and alias.upper() in ("ON", "JOIN", "WHERE"):
         raise Unsupported("keyword where alias expected")
     return TableRef(name=name, alias=alias or name.split(".")[-1])
+
+
+def parse_simple_inner(inner: str) -> tuple[str, list[tuple[str, str]] | None, str | None]:
+    """Parse a derived-table body of the ROW-LOCAL shape
+    ``SELECT <items> FROM <table> [WHERE ...]`` — the class the
+    progressive transform can absorb (each scramble row maps to 0/1
+    output rows deterministically, so per-block inclusion
+    probabilities carry through; the contract ``progressive_agg``
+    documents).  Returns ``(table_name, items, where)`` where
+    ``items`` is ``[(expr, alias), ...]`` or ``None`` for ``*``.
+    Raises ``Unsupported`` for joins, aggregates, GROUP BY/HAVING/
+    ORDER BY/LIMIT, DISTINCT, or nested subqueries."""
+    cl = _clauses(inner)
+    for k in ("GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
+        if k in cl:
+            raise Unsupported(f"derived table with {k}")
+    sel = cl["SELECT"].strip()
+    if re.match(r"^\s*DISTINCT\b", sel, re.IGNORECASE):
+        raise Unsupported("derived table with DISTINCT")
+    tables, joins = _parse_from(cl["FROM"])
+    if joins or tables[0].subquery is not None:
+        raise Unsupported("derived table must scan a single base table")
+    quals = [tables[0].alias, tables[0].name]
+    items: list[tuple[str, str]] | None = None
+    if sel != "*":
+        items = []
+        for it in _split_top_level(sel):
+            expr, alias = _split_alias(it)
+            if _contains_agg_call(_mask(expr, keep_depth0_only=False)):
+                raise Unsupported("aggregate inside derived table")
+            sexpr = strip_qualifiers(expr, quals)
+            name = alias or (sexpr if re.fullmatch(r"\w+", sexpr) else None)
+            if name is None:
+                raise Unsupported("derived-table select item needs an alias")
+            items.append((sexpr, name))
+    where = cl.get("WHERE")
+    if where is not None:
+        if re.search(r"\bselect\b", where, re.IGNORECASE):
+            raise Unsupported("subquery inside derived-table WHERE")
+        where = strip_qualifiers(where, quals)
+    return tables[0].name, items, where
 
 
 def _parse_on_pairs(cond: str) -> list[tuple[str, str]]:
@@ -207,8 +290,17 @@ def _parse_from(text: str) -> tuple[list[TableRef], list[JoinClause]]:
     tables = [_parse_table_ref(first_seg)]
     joins: list[JoinClause] = []
     for i, h in enumerate(hits):
-        if h.group(1).split()[0].upper() not in ("JOIN", "INNER"):
-            raise Unsupported("only INNER JOIN is rewritable")
+        kw = h.group(1).split()[0].upper()
+        if kw in ("JOIN", "INNER"):
+            how = "inner"
+        elif kw == "LEFT":
+            # LEFT JOIN is rewritable when the probe (left) side carries
+            # the scramble: per-row inclusion probability is unchanged by
+            # null-extension (the planner enforces that the attached
+            # table is an unscrambled dimension)
+            how = "left"
+        else:
+            raise Unsupported(f"{kw} JOIN is not rewritable")
         seg_end = hits[i + 1].start() if i + 1 < len(hits) else len(text)
         seg = text[h.end() : seg_end]
         seg_masked = masked[h.end() : seg_end]
@@ -218,7 +310,7 @@ def _parse_from(text: str) -> tuple[list[TableRef], list[JoinClause]]:
         tref = _parse_table_ref(seg[: on.start()])
         pairs = _parse_on_pairs(seg[on.end() :])
         tables.append(tref)
-        joins.append(JoinClause(table=tref, pairs=pairs))
+        joins.append(JoinClause(table=tref, pairs=pairs, how=how))
     return tables, joins
 
 
@@ -335,74 +427,30 @@ def parse_select(sql: str) -> ParsedSelect:
 
     agg_items: list[AggItem] = []
     select_order: list[str] = []
+    composites: list[tuple[str, str]] = []
     norm_groups = {norm_expr(strip_qualifiers(g, aliases)) for g in resolved_groups}
     agg_by_norm: dict[str, AggItem] = {}
-    for item in select_items:
-        expr, alias = _split_alias(item)
-        agg = _find_agg_call(expr)
-        if agg is not None:
-            op, inner, distinct = agg
-            inner = strip_qualifiers(inner, aliases) if inner != "*" else inner
-            if op == "count" and inner == "*":
-                inner_arg = None
-            elif inner == "*":
-                raise Unsupported(f"{op}(*)")
-            else:
-                inner_arg = inner
-            if op == "count" and distinct:
-                op = "countdistinct"
-            elif op == "approx_count_distinct":
-                op = "countdistinct"
-            elif distinct:
-                # sum/avg/min/max DISTINCT: the scramble rewrite would be
-                # WRONG (duplicates across blocks) — exact fallback
-                raise Unsupported(f"{op}(DISTINCT ...) is not rewritable")
-            name = alias or re.sub(r"\W+", "_", f"{op}_{inner_arg or 'star'}").strip("_")
-            it = AggItem(op=op, expr=inner_arg, alias=name, distinct=distinct)
-            agg_items.append(it)
-            agg_by_norm[norm_expr(strip_qualifiers(expr, aliases))] = it
-            select_order.append(name)
-        else:
-            sexpr = strip_qualifiers(expr, aliases)
-            if norm_expr(sexpr) not in norm_groups:
-                raise Unsupported(
-                    f"non-aggregate select item {expr!r} not in GROUP BY"
-                )
-            name = alias or (sexpr if re.fullmatch(r"\w+", sexpr) else None)
-            gi = GroupItem(expr=sexpr, alias=name or f"_vdb_g{len(group_items)}")
-            group_items.append(gi)
-            select_order.append(gi.alias)
-    # GROUP BY columns not in the select list still shape the result;
-    # SQL semantics project them away, which the executor honors by
-    # grouping on them but excluding them from the output
-    norm_selected = {norm_expr(g.expr) for g in group_items}
-    for g in resolved_groups:
-        sg = strip_qualifiers(g, aliases)
-        if norm_expr(sg) not in norm_selected:
-            group_items.append(
-                GroupItem(expr=sg, alias=f"_vdb_gx{len(group_items)}")
-            )
 
     def rewrite_aggs(text: str, where: str) -> str:
-        """Replace aggregate calls in HAVING/ORDER BY text with select
-        aliases, adding hidden aggregates for calls not selected."""
+        """Replace aggregate calls in select/HAVING/ORDER BY text with
+        select aliases, adding hidden aggregates for calls not
+        selected.  Calls are LOCATED on the string-masked text (the
+        module's masking invariant) so agg-call text inside a literal
+        — ``HAVING g = 'sum(a)'`` — is never rewritten; replacements
+        are spliced into the original text by position."""
+        masked_text = _mask(text, keep_depth0_only=False)
         out, pos = [], 0
         for m in re.finditer(
-            rf"\b({'|'.join(AGG_FUNCS)})\s*\(", text, re.IGNORECASE
+            rf"\b({'|'.join(AGG_FUNCS)})\s*\(", masked_text, re.IGNORECASE
         ):
             if m.start() < pos:
                 continue
-            # find matching close paren
+            # matching close paren on the masked text (parens survive
+            # masking; literal contents don't, so no in-string state)
             depth, i = 0, m.end() - 1
-            in_str: str | None = None
-            while i < len(text):
-                ch = text[i]
-                if in_str is not None:
-                    if ch == in_str:
-                        in_str = None
-                elif ch in ("'", '"', "`"):
-                    in_str = ch
-                elif ch == "(":
+            while i < len(masked_text):
+                ch = masked_text[i]
+                if ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1
@@ -436,6 +484,67 @@ def parse_select(sql: str) -> ParsedSelect:
             pos = i + 1
         out.append(text[pos:])
         return "".join(out)
+
+    for item in select_items:
+        expr, alias = _split_alias(item)
+        agg = _find_agg_call(expr)
+        if agg is not None:
+            op, inner, distinct = agg
+            inner = strip_qualifiers(inner, aliases) if inner != "*" else inner
+            if op == "count" and inner == "*":
+                inner_arg = None
+            elif inner == "*":
+                raise Unsupported(f"{op}(*)")
+            else:
+                inner_arg = inner
+            if op == "count" and distinct:
+                op = "countdistinct"
+            elif op == "approx_count_distinct":
+                op = "countdistinct"
+            elif distinct:
+                # sum/avg/min/max DISTINCT: the scramble rewrite would be
+                # WRONG (duplicates across blocks) — exact fallback
+                raise Unsupported(f"{op}(DISTINCT ...) is not rewritable")
+            name = alias or re.sub(r"\W+", "_", f"{op}_{inner_arg or 'star'}").strip("_")
+            it = AggItem(op=op, expr=inner_arg, alias=name, distinct=distinct)
+            agg_items.append(it)
+            agg_by_norm[norm_expr(strip_qualifiers(expr, aliases))] = it
+            select_order.append(name)
+            continue
+        sexpr = strip_qualifiers(expr, aliases)
+        if norm_expr(sexpr) in norm_groups:
+            name = alias or (sexpr if re.fullmatch(r"\w+", sexpr) else None)
+            gi = GroupItem(expr=sexpr, alias=name or f"_vdb_g{len(group_items)}")
+            group_items.append(gi)
+            select_order.append(gi.alias)
+        elif _contains_agg_call(_mask(expr, keep_depth0_only=False)):
+            # composite aggregate expression — sum(a)/sum(b), 100*avg(x),
+            # sum(x)+1: decompose every top-level agg call to a (hidden)
+            # partial alias and evaluate the residual over the estimate
+            # frame (the reference rebuilds arbitrary expressions around
+            # decomposed partials, replaceColumnWithAggMeta:565-639)
+            name = alias or re.sub(r"\W+", "_", sexpr).strip("_")[:48].lower()
+            composites.append((name, rewrite_aggs(sexpr, "SELECT")))
+            select_order.append(name)
+        else:
+            raise Unsupported(
+                f"non-aggregate select item {expr!r} not in GROUP BY"
+            )
+    # GROUP BY columns not in the select list still shape the result;
+    # SQL semantics project them away, which the executor honors by
+    # grouping on them but excluding them from the output
+    norm_selected = {norm_expr(g.expr) for g in group_items}
+    for g in resolved_groups:
+        sg = strip_qualifiers(g, aliases)
+        if norm_expr(sg) not in norm_selected:
+            group_items.append(
+                GroupItem(expr=sg, alias=f"_vdb_gx{len(group_items)}")
+            )
+    if len(select_order) != len(set(select_order)):
+        # pandas/Spark estimate frames key columns by name — a repeated
+        # output alias would silently collapse to the last aggregate;
+        # the exact path returns two distinct columns, so fall back
+        raise Unsupported("duplicate select-list alias")
 
     having = None
     if "HAVING" in cl:
@@ -478,6 +587,7 @@ def parse_select(sql: str) -> ParsedSelect:
         select_order=select_order,
         agg_items=agg_items,
         group_items=group_items,
+        composites=composites,
         where=strip_qualifiers(cl["WHERE"], aliases) if "WHERE" in cl else None,
         having=having,
         order_by=order_by,
