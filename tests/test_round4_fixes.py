@@ -8,6 +8,7 @@ catch)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -308,6 +309,138 @@ def test_late_engine_switch_lifts_accumulated_partials(spark, lineitem):
     )
     assert got["s"].to_numpy() == pytest.approx(exact["s"].to_numpy(), rel=1e-9)
     assert got["c"].to_numpy() == pytest.approx(exact["c"].to_numpy(), rel=1e-9)
+
+
+# ------------------------------------------------ review-pass regressions
+def test_parse_implicit_alias_without_as():
+    """`sum(a) total` (no AS) must be the aliased aggregate, NOT a
+    composite that silently renames the output column."""
+    p = parse_select("SELECT g, sum(a) total FROM t GROUP BY g")
+    assert not p.composites
+    assert [a.alias for a in p.agg_items] == ["total"]
+    assert p.select_order == ["g", "total"]
+    p2 = parse_select("SELECT count(*) c FROM t")
+    assert p2.agg_items[0].alias == "c"
+    p3 = parse_select("SELECT g grp, sum(a)+1 s1 FROM t GROUP BY g")
+    assert p3.group_items[0].alias == "grp"
+    assert p3.composites[0][0] == "s1"
+    # operators never read as implicit aliases
+    p4 = parse_select("SELECT sum(a + b) AS s FROM t")
+    assert p4.agg_items[0].expr.replace(" ", "") == "a+b"
+
+
+def test_sql_implicit_alias_executes(ctx, lineitem):
+    out = ctx.sql(
+        "SELECT l_returnflag, sum(l_quantity) total FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+        early_stop=False,
+    ).toPandas()
+    assert list(out.columns) == ["l_returnflag", "total"]
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("total"))
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    assert out["total"].to_numpy() == pytest.approx(exact["total"].to_numpy())
+
+
+def test_stream_applies_composites(ctx, lineitem):
+    results = list(
+        ctx.stream(
+            "SELECT l_returnflag, sum(l_quantity)/count(*) AS qpr "
+            "FROM lineitem GROUP BY l_returnflag"
+        )
+    )
+    est = results[-1].estimates
+    assert "qpr" in est.columns
+    assert not [c for c in est.columns if c.startswith("_vdb_h")]
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("qpr"))
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    got = est.set_index("l_returnflag")
+    for flag in exact.index:
+        assert got.loc[flag, "qpr"] == pytest.approx(exact.loc[flag, "qpr"])
+
+
+def test_debug_surfaces_unsupported_shape(ctx):
+    ctx.sql("SET verdictdb.debug = true")
+    try:
+        from verdictdb_spark.sqlparse import Unsupported as U
+
+        with pytest.raises(U):
+            ctx.sql("SELECT sum(DISTINCT l_quantity) AS s FROM lineitem")
+    finally:
+        ctx.sql("SET verdictdb.debug = false")
+
+
+def test_composite_residual_validated_at_plan_time(ctx):
+    """An unparseable residual must reject BEFORE the progressive run
+    (exact fallback), not after a full scan."""
+    from verdictdb_spark.sqlparse import Unsupported as U
+
+    with pytest.raises(U, match="composite"):
+        ctx._plan(
+            "SELECT l_returnflag, sum(l_quantity) OVER () AS w "
+            "FROM lineitem GROUP BY l_returnflag"
+        )
+
+
+def test_avi_with_audio_stream_and_topdown():
+    """strf belonging to an audio stream must not be read as pixel
+    format; negative biHeight (top-down) frames must not be flipped."""
+    import struct
+
+    from verdictdb_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(2, 4, 6, 3), dtype=np.uint8)
+    blob = bytearray(encode_avi(px))
+    # splice an audio strl (strh 'auds' + WAVEFORMATEX strf whose
+    # wBitsPerSample would alias as bpp=16) after the video strl
+    strh = struct.pack("<4s4sIHHIIIIIIII4h", b"auds", b"\0\0\0\0",
+                       0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 2, 0, 0, 0, 0)
+    strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    aud = (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+           + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+           + b"strf" + struct.pack("<I", len(strf)) + strf)
+    hdrl_end = blob.index(b"LIST", 12 + blob.index(b"hdrl"))  # movi LIST start
+    spliced = bytes(blob[:hdrl_end]) + aud + bytes(blob[hdrl_end:])
+    # fix RIFF and hdrl sizes
+    spliced = bytearray(spliced)
+    struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+    hdrl_pos = spliced.index(b"hdrl") - 8
+    old = struct.unpack_from("<I", spliced, hdrl_pos + 4)[0]
+    struct.pack_into("<I", spliced, hdrl_pos + 4, old + len(aud))
+    w, h, frames = decode_avi(bytes(spliced))
+    assert (w, h, len(frames)) == (6, 4, 2)
+    assert np.array_equal(frames[0], px[0])
+
+    # top-down variant: negate biHeight in strf and un-flip the rows
+    blob2 = bytearray(encode_avi(px[:1]))
+    sf = blob2.index(b"strf") + 8
+    struct.pack_into("<i", blob2, sf + 8, -4)  # biHeight = -h
+    movi = blob2.index(b"00db") + 8
+    row_bytes = 6 * 3 + ((-6 * 3) % 4)
+    frame = bytes(blob2[movi : movi + row_bytes * 4])
+    rows = [frame[i * row_bytes : (i + 1) * row_bytes] for i in range(4)]
+    blob2[movi : movi + row_bytes * 4] = b"".join(reversed(rows))
+    w2, h2, frames2 = decode_avi(bytes(blob2))
+    assert np.array_equal(frames2[0], px[0])
+
+
+def test_sample_frames_refuses_non_avi_clearly(spark):
+    from verdictdb_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x00 ftypmp42" + b"x" * 64), {"fmt": "mp4"})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(df, n_frames=2).collect()
 
 
 # ----------------------------------------------------- narrowed fallback

@@ -104,7 +104,7 @@ def pair(lo_n: int, hi_n: int, rows: int = ROWS) -> dict:
     lib_speedup = hi["files_per_sec"] / lo["files_per_sec"]
     hw_speedup = ctl_hi / ctl_lo
     ratio = hi_n / lo_n
-    return {
+    out = {
         "pair": f"local[{lo_n}] -> local[{hi_n}]",
         "low": lo,
         "high": hi,
@@ -114,6 +114,13 @@ def pair(lo_n: int, hi_n: int, rows: int = ROWS) -> dict:
         "hardware_control_efficiency": round(hw_speedup / ratio, 3),
         "normalized_efficiency": round(lib_speedup / hw_speedup, 3),
     }
+    if hw_speedup < 1.0:
+        # the pure-CPU control got SLOWER with more workers: the
+        # platform ceiling is undefined in this window and normalizing
+        # by it would fabricate a >1 efficiency — flag, don't report
+        out["control_invalid"] = True
+        out["normalized_efficiency"] = None
+    return out
 
 
 def main() -> None:

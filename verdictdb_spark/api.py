@@ -52,7 +52,7 @@ from .sampling.scramble import (
     load_scramble,
     write_scramble,
 )
-from .sqlparse import ParsedSelect, Unsupported, parse_select, parse_simple_inner
+from .sqlparse import ParsedSelect, Unsupported, parse_select
 
 # ---- scramble DDL statements (reference grammar VerdictSQLParser.g4:
 # 69-102: create/insert/drop/drop-all/show scramble statements) -------
@@ -374,6 +374,10 @@ class VerdictContext:
         try:
             plan = self._plan(query)
         except Unsupported:
+            # SET verdictdb.debug = true surfaces WHY a SELECT fell
+            # back — shape rejections are the dominant fallback class
+            if self._debug() and re.match(r"^\s*select\b", query, re.IGNORECASE):
+                raise
             plan = None
         if plan is None:
             return self.spark.sql(query)
@@ -388,9 +392,12 @@ class VerdictContext:
             # planner bug and must surface, not silently degrade to a
             # slow exact run.  SET verdictdb.debug = true re-raises
             # even these, for diagnosing why a query fell back.
-            if self.conf.get("verdictdb.debug", "false").lower() in ("true", "1"):
+            if self._debug():
                 raise
             return self.spark.sql(query)
+
+    def _debug(self) -> bool:
+        return self.conf.get("verdictdb.debug", "false").lower() in ("true", "1")
 
     # ------------------------------------------------------------- DDL
     def _ddl(self, query: str) -> DataFrame | None:
@@ -589,9 +596,10 @@ class VerdictContext:
                     # the inner filter/projection is planned into the
                     # per-block transform (the reference lifts FROM
                     # subqueries into dependent plan nodes,
-                    # QueryExecutionPlanFactory.java:242-345)
+                    # QueryExecutionPlanFactory.java:242-345); the
+                    # parser already stashed the parsed inner block
                     scramble_at[i] = self.load_scramble_for(t.name)
-                    _, items, inner_where = parse_simple_inner(t.subquery)
+                    _, items, inner_where = t.inner
                     subq_at[i] = (items, inner_where)
                 else:
                     # opaque derived table over unscrambled base(s):
@@ -612,6 +620,22 @@ class VerdictContext:
             return None  # nothing to substitute — plain exact SQL
         if subq_at and (len(scramble_at) > 1 or len(subq_at) > 1):
             raise Unsupported("derived table over a scramble in a scramble join")
+        for name, expr in p.composites:
+            # reject unparseable residuals (window-over-agg, stray
+            # syntax) BEFORE the progressive run — discovering the
+            # failure in _execute would waste the whole scan and
+            # re-run exact anyway.  F.expr defers parsing in PySpark 4,
+            # so ask Catalyst's parser directly (parse-only, no
+            # analysis); if the private hook is unavailable (Connect),
+            # skip — the _execute catch still guarantees correctness.
+            try:
+                parse = self.spark._jsparkSession.sessionState().sqlParser()
+            except AttributeError:
+                break
+            try:
+                parse.parseExpression(expr)
+            except Exception:
+                raise Unsupported(f"unparseable composite select item {name!r}")
 
         # join-type constraints: LEFT is rewritable only when the
         # null-producing (attached, right) side is an unscrambled
@@ -777,10 +801,12 @@ class VerdictContext:
     def stream(self, query: str):
         """Progressive iterator for a rewritable SELECT (the grammar's
         ``STREAM select_statement``): yields one ``ProgressiveResult``
-        per refinement step with the plan's aliases in ``estimates``.
-        HAVING / ORDER BY / LIMIT are final-result decorations and are
-        not applied per step.  Raises ``Unsupported`` for
-        non-rewritable statements (streams have no exact fallback)."""
+        per refinement step with the plan's aliases in ``estimates`` —
+        including composite select items (``sum(a)/sum(b) AS r``),
+        evaluated per step.  HAVING / ORDER BY / LIMIT are
+        final-result decorations and are not applied per step.
+        Raises ``Unsupported`` for non-rewritable statements (streams
+        have no exact fallback)."""
         q = _STREAM_RE.match(query)
         if q:
             query = q.group(1)
@@ -788,8 +814,39 @@ class VerdictContext:
         if plan is None:
             raise Unsupported("no registered scramble for STREAM query")
         renames = plan.group_renames
+        composites = plan.parsed.composites
+        hidden = [a.alias for a in plan.parsed.agg_items if a.hidden]
         for res in self._progression(plan):
-            yield res.renamed(renames)
+            res = res.renamed(renames)
+            if composites:
+                res = self._apply_composites(res, composites, hidden)
+            yield res
+
+    def _apply_composites(self, res, composites, drop: list[str]):
+        """Evaluate composite residuals on a progressive snapshot and
+        drop the hidden partial columns — the per-step estimate then
+        carries exactly the select-list aliases.  Spark-engine frames
+        stay DataFrames; driver frames take one small local round trip
+        (they are already O(groups) driver-side)."""
+        from .sampling.progressive import ProgressiveResult
+
+        sdf = res.estimates_sdf
+        if sdf is None:
+            sdf = self.spark.createDataFrame(res.estimates)
+        for name, expr in composites:
+            sdf = sdf.withColumn(name, F.expr(expr))
+        keep = [
+            c for c in sdf.columns
+            if not any(c == h or c == f"{h}_err" for h in drop)
+        ]
+        sdf = sdf.select(*keep)
+        out = ProgressiveResult.__new__(ProgressiveResult)
+        out.__dict__.update(res.__dict__)
+        if res.estimates_sdf is not None:
+            out.estimates_sdf, out._pdf = sdf, None
+        else:
+            out.estimates_sdf, out._pdf = None, sdf.toPandas()
+        return out
 
     # ------------------------------------------------------- execution
     def _progression(self, plan: _Plan):

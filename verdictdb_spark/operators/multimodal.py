@@ -392,16 +392,23 @@ def decode_avi(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = None
+    topdown = False
+    stream_type = None  # fccType of the most recent strh (vids/auds/...)
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h
+        nonlocal w, h, topdown, stream_type
         while pos + 8 <= end:
             cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
             body = pos + 8
             if cid == b"LIST":
                 walk(body + 4, body + size)
-            elif cid == b"strf":
+            elif cid == b"strh":
+                stream_type = b[body : body + 4]
+            elif cid == b"strf" and stream_type == b"vids":
+                # a strf's layout depends on its stream: only the video
+                # stream's is a BITMAPINFOHEADER (an audio strf is a
+                # WAVEFORMATEX and must not be read as pixel format)
                 bpp = struct.unpack_from("<H", b, body + 14)[0]
                 comp = struct.unpack_from("<I", b, body + 16)[0]
                 if bpp != 24 or comp != 0:
@@ -410,15 +417,18 @@ def decode_avi(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                         "only uncompressed 24bpp DIB decodes in-container"
                     )
                 w, h = struct.unpack_from("<ii", b, body + 4)
+                topdown = h < 0  # negative biHeight = top-down rows
                 h = abs(h)
             elif cid in (b"00db", b"00dc"):
                 if w is None:
-                    raise ValueError("frame chunk before stream format")
+                    raise ValueError("frame chunk before video stream format")
                 row_bytes = w * 3
                 stride = row_bytes + ((-row_bytes) % 4)
                 rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=body)
                 px = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
-                frames.append(px[::-1, :, ::-1].copy())  # bottom-up BGR -> RGB
+                if not topdown:
+                    px = px[::-1]  # bottom-up storage
+                frames.append(px[:, :, ::-1].copy())  # BGR -> RGB
             pos = body + size + (size & 1)
 
     walk(12, len(b))
@@ -460,7 +470,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataF
                         totals.append(n_frames)
                         frames.append(blob[j * step : (j + 1) * step] or b"\0")
                     continue
-                _, _, px_frames = decode_avi(blob)
+                try:
+                    _, _, px_frames = decode_avi(blob)
+                except ValueError as e:
+                    # non-RIFF container (MP4/MKV/opaque bytes): refuse
+                    # with the same honest external-codec message as
+                    # compressed streams, not a cryptic mid-job error
+                    raise NotImplementedError(
+                        f"video container {bytes(blob)[:4]!r} requires ffmpeg — "
+                        "only uncompressed RIFF/AVI decodes in-container "
+                        "(use fake=True for opaque-blob plumbing)"
+                    ) from e
                 m = len(px_frames)
                 take = np.unique(
                     np.linspace(0, m - 1, num=min(n_frames, m)).round().astype(int)

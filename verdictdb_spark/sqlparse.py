@@ -90,6 +90,9 @@ class TableRef:
     name: str  # as written (possibly schema-qualified); "" for an opaque derived table
     alias: str  # alias if given, else the unqualified name
     subquery: str | None = None  # inner SELECT text for a derived table
+    # parse_simple_inner result for a ROW-LOCAL derived table
+    # ((base, items, where)); None when the inner text is opaque
+    inner: tuple | None = None
 
 
 @dataclass
@@ -184,19 +187,15 @@ def _parse_table_ref(text: str) -> TableRef:
     text = text.strip()
     if text.startswith("("):
         # derived table: (SELECT ...) alias — the balanced close paren
-        # is found with literal-awareness so ')' inside a string never
-        # terminates the body (QueryExecutionPlanFactory.java:242-345
-        # lifts these into dependent plan nodes; here the inner text is
-        # either row-local — planned into the per-block transform — or
-        # opaque, executed exactly as a dimension)
-        depth, in_str, close = 0, None, -1
-        for i, ch in enumerate(text):
-            if in_str is not None:
-                if ch == in_str:
-                    in_str = None
-            elif ch in ("'", '"', "`"):
-                in_str = ch
-            elif ch == "(":
+        # is located on the literal-masked text so ')' inside a string
+        # never terminates the body (QueryExecutionPlanFactory.java:
+        # 242-345 lifts these into dependent plan nodes; here the inner
+        # text is either row-local — planned into the per-block
+        # transform — or opaque, executed exactly as a dimension)
+        masked = _mask(text, keep_depth0_only=False)
+        depth, close = 0, -1
+        for i, ch in enumerate(masked):
+            if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -211,12 +210,17 @@ def _parse_table_ref(text: str) -> TableRef:
             raise Unsupported("derived table requires an alias")
         if not re.match(r"^\s*select\b", inner, re.IGNORECASE):
             raise Unsupported("non-SELECT derived table")
-        base = ""
+        parsed_inner = None
         try:
-            base = parse_simple_inner(inner)[0]
+            parsed_inner = parse_simple_inner(inner)
         except Unsupported:
-            pass  # opaque derived table — base stays ""
-        return TableRef(name=base, alias=m.group(1), subquery=inner)
+            pass  # opaque derived table — executed exactly as a dim
+        return TableRef(
+            name=parsed_inner[0] if parsed_inner else "",
+            alias=m.group(1),
+            subquery=inner,
+            inner=parsed_inner,
+        )
     if "(" in text:
         raise Unsupported("subquery in FROM")
     m = re.fullmatch(r"([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?", text, re.IGNORECASE)
@@ -350,11 +354,30 @@ def _find_agg_call(expr: str) -> tuple[str, str, bool] | None:
     return op, inner.strip(), distinct
 
 
+# words that legally trail an expression and must never be read as an
+# implicit alias (SELECT expr alias — SQL allows omitting AS)
+_ALIAS_STOPWORDS = frozenset(
+    "ASC DESC AND OR NOT NULL TRUE FALSE END OVER ALL DISTINCT IS IN "
+    "BETWEEN LIKE ESCAPE CASE WHEN THEN ELSE AS".split()
+)
+
+
 def _split_alias(item: str) -> tuple[str, str | None]:
     masked = _mask(item)
     m = re.search(r"\s+AS\s+(\w+)\s*$", masked, re.IGNORECASE)
     if m:
         return item[: m.start()].strip(), item[m.start() : m.end()].split()[-1]
+    # implicit alias (``sum(a) total``): a trailing bare identifier
+    # whose preceding token ends in ')' or a word char.  Operators
+    # (``a + b``) never match — '+' is neither; masked literals
+    # (``DATE '...'``) blank to spaces and leave no trailing word.
+    # Without this, an agg item with a bare alias fell into the
+    # composite branch and silently renamed the output column.
+    m = re.fullmatch(
+        r"\s*(?P<head>[\s\S]*[\)\w])\s+(?P<alias>[A-Za-z_]\w*)\s*", masked
+    )
+    if m and m.group("alias").upper() not in _ALIAS_STOPWORDS:
+        return item[: m.end("head")].strip(), m.group("alias")
     return item.strip(), None
 
 
