@@ -215,6 +215,88 @@ def test_parse_subquery_still_needs_alias():
         parse_select("SELECT count(*) AS c FROM (SELECT * FROM t)")
 
 
+# --------------------------------------------------- WHERE subqueries
+def test_parse_where_in_subquery_extracted():
+    p = parse_select(
+        "SELECT count(*) AS c FROM t WHERE a > 1 AND "
+        "x IN (SELECT y FROM u WHERE z = 'AND b IN (SELECT q FROM v)') "
+        "AND NOT EXISTS (SELECT 1 FROM w)"
+    )
+    kinds = [(w.kind, w.lhs) for w in p.where_subqs]
+    assert kinds == [("in", "x"), ("not_exists", None)]
+    assert p.where_subqs[0].inner.startswith("SELECT y FROM u")
+    assert p.where.strip() == "a > 1"
+
+
+def test_sql_where_in_subquery_executes(ctx, lineitem, orders):
+    out = ctx.sql(
+        "SELECT l_returnflag, count(*) AS c, sum(l_quantity) AS s "
+        "FROM lineitem WHERE l_quantity > 5 AND l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 200000) "
+        "GROUP BY l_returnflag ORDER BY l_returnflag",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.where("l_quantity > 5")
+        .join(
+            orders.where("o_totalprice > 200000").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("l_quantity").alias("s"))
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    assert list(out["l_returnflag"]) == list(exact["l_returnflag"])
+    assert out["c"].to_numpy() == pytest.approx(exact["c"].to_numpy())
+    assert out["s"].to_numpy() == pytest.approx(exact["s"].to_numpy())
+
+
+def test_sql_where_not_in_null_semantics(ctx, spark, lineitem):
+    """NOT IN against an inner set containing NULL must yield zero
+    rows (SQL three-valued logic), not the anti-join answer."""
+    spark.sql("SELECT * FROM VALUES (1), (CAST(NULL AS BIGINT)) AS t(k)").createOrReplaceTempView(
+        "nullset"
+    )
+    out = ctx.sql(
+        "SELECT count(*) AS c FROM lineitem WHERE l_orderkey NOT IN "
+        "(SELECT k FROM nullset)",
+        early_stop=False,
+    )
+    # progressive plan raises on empty estimates -> exact fallback also
+    # returns 0; either way the SQL answer is 0 rows matched
+    assert out.first()["c"] in (0, None)
+    # and without the NULL the anti join is real
+    spark.sql("SELECT * FROM VALUES (1), (2) AS t(k)").createOrReplaceTempView("nonull")
+    out2 = ctx.sql(
+        "SELECT count(*) AS c FROM lineitem WHERE l_orderkey NOT IN "
+        "(SELECT k FROM nonull)",
+        early_stop=False,
+    ).first()["c"]
+    exact2 = lineitem.where("l_orderkey NOT IN (1, 2)").count()
+    assert out2 == pytest.approx(exact2)
+
+
+def test_sql_where_exists_uncorrelated(ctx, lineitem, orders):
+    out = ctx.sql(
+        "SELECT count(*) AS c FROM lineitem WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_totalprice > 200000)",
+        early_stop=False,
+    ).first()["c"]
+    assert out == pytest.approx(lineitem.count())
+    # correlated EXISTS (unresolvable inner) -> exact fallback, right answer
+    out2 = ctx.sql(
+        "SELECT count(*) AS c FROM lineitem WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)"
+    ).first()["c"]
+    exact2 = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .count()
+    )
+    assert out2 == exact2
+
+
 # ------------------------------------------- distributed sql() finish line
 def test_sql_spark_engine_no_driver_roundtrip(ctx, lineitem, monkeypatch):
     """With the Spark estimate engine, sql() must never materialize the

@@ -101,14 +101,17 @@ def test_parse_group_by_ordinal():
 
 
 def test_parse_rejects_outer_join_and_subquery():
-    # LEFT parses as of round 4 (planner enforces sides); RIGHT/FULL
-    # and WHERE subqueries stay exact-fallback
+    # LEFT parses as of round 4 (planner enforces sides); top-level
+    # AND [NOT] IN/EXISTS subqueries lift out; RIGHT/FULL, aliasless
+    # derived tables, and OR/scalar subqueries stay exact-fallback
     with pytest.raises(Unsupported):
         parse_select("SELECT count(*) FROM a RIGHT JOIN b ON a.x = b.y")
     with pytest.raises(Unsupported):
         parse_select("SELECT count(*) FROM (SELECT * FROM t)")  # no alias
     with pytest.raises(Unsupported):
-        parse_select("SELECT count(*) FROM t WHERE x IN (SELECT y FROM u)")
+        parse_select("SELECT count(*) FROM t WHERE a = 1 OR x IN (SELECT y FROM u)")
+    with pytest.raises(Unsupported):
+        parse_select("SELECT count(*) FROM t WHERE x > (SELECT avg(y) FROM u)")
 
 
 def test_parse_keywords_inside_strings_ignored():

@@ -32,7 +32,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
 from pyspark.errors import AnalysisException
@@ -159,6 +159,9 @@ class _Plan:
     derived: list[tuple[str, str]]  # (col name, expr text) added in transform
     # row-local derived table over the scramble: (select items|None, where|None)
     scramble_subq: tuple | None = None
+    # WHERE-subquery join filters: (kind, lhs, inner_df|None, key|None,
+    # n, nn) — inner facts (row/non-null counts) resolved at plan time
+    where_subqs: list[tuple] = field(default_factory=list)
 
 
 class VerdictContext:
@@ -620,6 +623,42 @@ class VerdictContext:
             return None  # nothing to substitute — plain exact SQL
         if subq_at and (len(scramble_at) > 1 or len(subq_at) > 1):
             raise Unsupported("derived table over a scramble in a scramble join")
+        # WHERE subqueries: execute each inner exactly (dimensions are
+        # exact by definition; the semi/anti filter is row-local, so
+        # per-row inclusion probabilities carry through).  Correlated
+        # subqueries fail inner resolution and fall back to exact —
+        # SQL scoping resolves inner-first, so a name that DOES
+        # resolve inside the subquery means the query was never
+        # correlated on it.
+        where_subqs: list[tuple] = []
+        for k, wq in enumerate(p.where_subqs):
+            try:
+                inner_df = self.spark.sql(wq.inner)
+            except AnalysisException:
+                raise Unsupported(
+                    f"unresolvable (or correlated) WHERE subquery #{k}"
+                )
+            if wq.kind in ("in", "not_in"):
+                if len(inner_df.columns) != 1:
+                    raise Unsupported("IN subquery must produce exactly one column")
+                key = f"_vdb_inq{k}"
+                inner_df = inner_df.select(F.col(inner_df.columns[0]).alias(key))
+                if wq.kind == "not_in":
+                    # SQL NOT IN three-valued logic needs the inner's
+                    # row/non-null counts (a NULL in the inner set
+                    # disqualifies every probe row)
+                    row = inner_df.agg(
+                        F.count(F.lit(1)).alias("n"), F.count(key).alias("nn")
+                    ).first()
+                    where_subqs.append(
+                        ("not_in", wq.lhs, inner_df, key, int(row["n"]), int(row["nn"]))
+                    )
+                else:
+                    where_subqs.append(("in", wq.lhs, inner_df, key, 0, 0))
+            else:
+                nonempty = int(not inner_df.isEmpty())
+                where_subqs.append((wq.kind, None, None, None, nonempty, 0))
+
         for name, expr in p.composites:
             # reject unparseable residuals (window-over-agg, stray
             # syntax) BEFORE the progressive run — discovering the
@@ -786,6 +825,7 @@ class VerdictContext:
             group_renames=group_renames,
             derived=derived,
             scramble_subq=subq_at.get(scr_order[0]),
+            where_subqs=where_subqs,
         )
 
     def _exec_kwargs(self) -> dict:
@@ -902,6 +942,32 @@ class VerdictContext:
                     c = batch[hc] == dim_df[dc]
                     cond = c if cond is None else cond & c
                 batch = batch.join(dim_df, cond, how)
+            for kind, lhs, inner_df, key, n, nn in plan.where_subqs:
+                # WHERE-subquery conjuncts as join filters (AQE picks
+                # broadcast vs shuffle by the inner's actual size)
+                if kind == "in":
+                    batch = batch.join(
+                        inner_df, F.expr(lhs) == F.col(key), "left_semi"
+                    )
+                elif kind == "not_in":
+                    if n == 0:
+                        pass  # NOT IN over an empty set keeps every row
+                    elif nn < n:
+                        # a NULL in the inner set: x NOT IN S is never
+                        # TRUE for any x — empty result, per SQL
+                        batch = batch.where(F.lit(False))
+                    else:
+                        # NULL probe values compare to NULL, not TRUE:
+                        # filter them before the anti join keeps them
+                        batch = batch.where(F.expr(lhs).isNotNull()).join(
+                            inner_df, F.expr(lhs) == F.col(key), "left_anti"
+                        )
+                elif kind == "exists":
+                    if not n:
+                        batch = batch.where(F.lit(False))
+                elif kind == "not_exists":
+                    if n:
+                        batch = batch.where(F.lit(False))
             if p.where is not None:
                 batch = batch.where(F.expr(p.where))
             for name, expr in plan.derived:

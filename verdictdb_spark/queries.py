@@ -1087,6 +1087,42 @@ GROUP BY flag ORDER BY flag
 """
 
 
+def sql_where_in_front_door(spark, sf_dir):
+    """``WHERE x IN (SELECT ...)`` through the front door: the
+    top-level AND conjunct lifts out as a semi join against the
+    exactly-computed inner (row-local filter — per-row inclusion
+    probabilities unchanged; the reference lifts WHERE subqueries into
+    dependent plan nodes, QueryExecutionPlanFactory.java:242-345,
+    supported_queries.md "depth <= 3").  Full coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = ctx.sql(
+        """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+           FROM lineitem
+           WHERE l_quantity > 5 AND l_orderkey IN
+                 (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        early_stop=False,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("cnt").cast("long").alias("cnt"),
+        F.round("sum_qty").cast("long").alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+SQL_WHEREIN_SQL = """
+SELECT l_returnflag, count(*) AS cnt, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity > 5 AND l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ===================================================== training-data ops
 def dedup_exact_documents(spark, sf_dir):
     """Exact dedup over a constructed duplicate-bearing input."""
@@ -1441,6 +1477,7 @@ def queries() -> dict[str, Query]:
         "sql_ratio_front_door": sql_ratio_front_door,
         "sql_leftjoin_front_door": sql_leftjoin_front_door,
         "sql_subquery_front_door": sql_subquery_front_door,
+        "sql_where_in_front_door": sql_where_in_front_door,
         "approx_early_stop": approx_early_stop,
         "bloom_semi_join_count": bloom_semi_join_count,
         "dedup_exact_documents": dedup_exact_documents,
@@ -1486,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_ratio_front_door": SQL_RATIO_SQL,
         "sql_leftjoin_front_door": SQL_LEFTJOIN_SQL,
         "sql_subquery_front_door": SQL_SUBQUERY_SQL,
+        "sql_where_in_front_door": SQL_WHEREIN_SQL,
         "bloom_semi_join_count": BLOOM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "simhash_pairs_documents": SIMHASH_SQL,

@@ -124,12 +124,26 @@ class OrderItem:
 
 
 @dataclass
+class WhereSubquery:
+    """One extractable WHERE-subquery conjunct: ``lhs [NOT] IN
+    (SELECT ...)`` or ``[NOT] EXISTS (SELECT ...)`` — rewritten to a
+    semi/anti join against the exactly-computed inner (the reference
+    lifts these into dependent plan nodes,
+    QueryExecutionPlanFactory.java:242-345)."""
+
+    kind: str  # in | not_in | exists | not_exists
+    lhs: str | None  # probe expression text (None for EXISTS)
+    inner: str  # inner SELECT text
+
+
+@dataclass
 class ParsedSelect:
     tables: list[TableRef]
     joins: list[JoinClause]  # joins[i] attaches tables[i+1]
     select_order: list[str]  # output column names in select-list order
     agg_items: list[AggItem] = field(default_factory=list)
     group_items: list[GroupItem] = field(default_factory=list)
+    where_subqs: list[WhereSubquery] = field(default_factory=list)
     # composite aggregate select items (sum(a)/sum(b) AS ratio): residual
     # expression text with every agg call replaced by its (possibly
     # hidden) agg alias — evaluated over the estimate frame
@@ -411,18 +425,95 @@ def _contains_agg_call(masked_text: str) -> bool:
     )
 
 
+def _extract_where_subqs(
+    text: str, aliases: list[str]
+) -> tuple[str | None, list[WhereSubquery]]:
+    """Split WHERE into plain conjuncts and extractable subquery
+    conjuncts (``lhs [NOT] IN (SELECT ...)``, ``[NOT] EXISTS
+    (SELECT ...)``).  Only TOP-LEVEL AND conjuncts are extractable — a
+    subquery under OR/scalar comparison cannot become a join filter
+    and raises ``Unsupported`` (exact fallback)."""
+    # literal-masked (structure visible) text decides whether any
+    # subquery is present at all
+    if not re.search(
+        r"\bselect\b", _mask(text, keep_depth0_only=False), re.IGNORECASE
+    ):
+        return text, []
+    keep: list[str] = []
+    subqs: list[WhereSubquery] = []
+    for c in _split_top_level(text, r"\bAND\b"):
+        lit_masked = _mask(c, keep_depth0_only=False)
+        if not re.search(r"\bselect\b", lit_masked, re.IGNORECASE):
+            keep.append(c)
+            continue
+        masked = _mask(c)  # depth-0 only: subquery body blanked, parens kept
+        m = re.fullmatch(
+            r"\s*(?P<not>NOT\s+)?EXISTS\s*\(\s*\)\s*", masked, re.IGNORECASE
+        )
+        if m is None:
+            m = re.fullmatch(
+                r"\s*(?P<lhs>.+?)\s+(?P<not>NOT\s+)?IN\s*\(\s*\)\s*",
+                masked,
+                re.IGNORECASE,
+            )
+        if m is None:
+            raise Unsupported(f"non-rewritable subquery conjunct {c.strip()[:60]!r}")
+        if m.groupdict().get("lhs") and re.search(
+            r"\b(OR|NOT)\b", m.group("lhs"), re.IGNORECASE
+        ):
+            # `a = 1 OR x IN (SELECT ...)`: the subquery is under a
+            # disjunction — it cannot become a standalone join filter
+            raise Unsupported(f"subquery under OR/NOT in {c.strip()[:60]!r}")
+        # the subquery parens are the conjunct's final balanced group
+        # (fullmatch above): walk back from the last ')' to its
+        # matching '(' — parens survive masking at every depth, so an
+        # lhs containing parens or a nested inner subquery can't
+        # confuse this
+        close = masked.rindex(")")
+        depth, op = 0, -1
+        for i in range(close, -1, -1):
+            if masked[i] == ")":
+                depth += 1
+            elif masked[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    op = i
+                    break
+        inner = c[op + 1 : close].strip()
+        if not re.match(r"^\s*select\b", inner, re.IGNORECASE):
+            raise Unsupported("non-SELECT parenthesized WHERE term")
+        lhs = m.groupdict().get("lhs")
+        kind = "exists" if lhs is None else "in"
+        if m.group("not"):
+            kind = "not_" + kind
+        subqs.append(
+            WhereSubquery(
+                kind=kind,
+                lhs=strip_qualifiers(lhs, aliases) if lhs else None,
+                inner=inner,
+            )
+        )
+    return (" AND ".join(keep) if keep else None), subqs
+
+
 # --------------------------------------------------------------- parse
 def parse_select(sql: str) -> ParsedSelect:
     """Parse a rewritable aggregate SELECT.  Raises ``Unsupported``
     for anything outside the shape — the caller treats that as the
     exact-fallback signal, mirroring the reference's pass-through."""
     cl = _clauses(sql)
-    if re.search(r"\bselect\b", (cl.get("WHERE") or ""), re.IGNORECASE):
-        raise Unsupported("subquery in WHERE")
     if re.match(r"^\s*DISTINCT\b", cl["SELECT"], re.IGNORECASE):
         raise Unsupported("SELECT DISTINCT")
     tables, joins = _parse_from(cl["FROM"])
     aliases = [t.alias for t in tables] + [t.name for t in tables]
+
+    # WHERE: [NOT] IN (SELECT ...) / [NOT] EXISTS (SELECT ...) at
+    # top-level AND positions lift out as semi/anti-join filters; any
+    # other subquery shape raises (exact fallback)
+    where_text = cl.get("WHERE")
+    where_subqs: list[WhereSubquery] = []
+    if where_text is not None:
+        where_text, where_subqs = _extract_where_subqs(where_text, aliases)
 
     # join pairs lose their qualifiers (ownership resolved by schema)
     for j in joins:
@@ -611,7 +702,8 @@ def parse_select(sql: str) -> ParsedSelect:
         agg_items=agg_items,
         group_items=group_items,
         composites=composites,
-        where=strip_qualifiers(cl["WHERE"], aliases) if "WHERE" in cl else None,
+        where_subqs=where_subqs,
+        where=strip_qualifiers(where_text, aliases) if where_text else None,
         having=having,
         order_by=order_by,
         limit=limit,
