@@ -228,6 +228,50 @@ def test_parse_where_in_subquery_extracted():
     assert p.where.strip() == "a > 1"
 
 
+def test_parse_where_in_lhs_and_inner_not_masked():
+    """Review regressions: the probe lhs must come from the ORIGINAL
+    text (function calls / literals survive), and the inner may itself
+    contain parens (functions, nested selects)."""
+    p = parse_select(
+        "SELECT count(*) AS c FROM t WHERE upper(x) IN "
+        "(SELECT max(y) FROM u WHERE year(d) = 2024)"
+    )
+    w = p.where_subqs[0]
+    assert w.lhs == "upper(x)"
+    assert w.inner == "SELECT max(y) FROM u WHERE year(d) = 2024"
+    p2 = parse_select(
+        "SELECT count(*) AS c FROM t WHERE x || 'z' IN (SELECT y FROM u)"
+    )
+    assert p2.where_subqs[0].lhs == "x || 'z'"
+
+
+def test_parse_infix_tail_not_implicit_alias():
+    p = parse_select("SELECT g, count(*) AS c FROM t WHERE a LIKE b GROUP BY g")
+    assert p.where.strip() == "a LIKE b"
+    # select-item side: `a LIKE b` must not split into expr+alias
+    from verdictdb_spark.sqlparse import _split_alias
+
+    assert _split_alias("a LIKE pat") == ("a LIKE pat", None)
+    assert _split_alias("INTERVAL '1' DAY") == ("INTERVAL '1' DAY", None)
+    assert _split_alias("sum(a) total") == ("sum(a)", "total")
+
+
+def test_sql_where_in_function_lhs(ctx, lineitem, orders):
+    out = ctx.sql(
+        "SELECT count(*) AS c FROM lineitem WHERE (l_orderkey * 1) IN "
+        "(SELECT max(o_orderkey) FROM orders)",
+        early_stop=False,
+    ).first()["c"]
+    exact = (
+        lineitem.join(
+            orders.agg(F.max("o_orderkey").alias("mx")),
+            F.col("l_orderkey") == F.col("mx"),
+            "left_semi",
+        ).count()
+    )
+    assert out == pytest.approx(exact)
+
+
 def test_sql_where_in_subquery_executes(ctx, lineitem, orders):
     out = ctx.sql(
         "SELECT l_returnflag, count(*) AS c, sum(l_quantity) AS s "

@@ -159,8 +159,8 @@ class _Plan:
     derived: list[tuple[str, str]]  # (col name, expr text) added in transform
     # row-local derived table over the scramble: (select items|None, where|None)
     scramble_subq: tuple | None = None
-    # WHERE-subquery join filters: (kind, lhs, inner_df|None, key|None,
-    # n, nn) — inner facts (row/non-null counts) resolved at plan time
+    # WHERE-subquery join filters: (kind in|not_in, lhs, inner_df, key)
+    # — constant-outcome subqueries were resolved away at plan time
     where_subqs: list[tuple] = field(default_factory=list)
 
 
@@ -642,7 +642,13 @@ class VerdictContext:
                 if len(inner_df.columns) != 1:
                     raise Unsupported("IN subquery must produce exactly one column")
                 key = f"_vdb_inq{k}"
-                inner_df = inner_df.select(F.col(inner_df.columns[0]).alias(key))
+                # persist: the per-block transform re-joins this frame
+                # once per refinement step — without it the inner
+                # re-executes per step (at cluster scale swap for a
+                # reliable checkpoint, same as the estimator note)
+                inner_df = inner_df.select(
+                    F.col(inner_df.columns[0]).alias(key)
+                ).persist()
                 if wq.kind == "not_in":
                     # SQL NOT IN three-valued logic needs the inner's
                     # row/non-null counts (a NULL in the inner set
@@ -650,14 +656,26 @@ class VerdictContext:
                     row = inner_df.agg(
                         F.count(F.lit(1)).alias("n"), F.count(key).alias("nn")
                     ).first()
-                    where_subqs.append(
-                        ("not_in", wq.lhs, inner_df, key, int(row["n"]), int(row["nn"]))
-                    )
+                    n_rows, n_nonnull = int(row["n"]), int(row["nn"])
+                    if n_rows == 0:
+                        continue  # NOT IN over empty set keeps every row
+                    if n_nonnull < n_rows:
+                        # constant-false WHERE: running the progressive
+                        # scan would yield zero partials and a doubled
+                        # exact re-run — let exact answer it once
+                        raise Unsupported(
+                            "NOT IN over a NULL-bearing set is constant-false"
+                        )
+                    where_subqs.append(("not_in", wq.lhs, inner_df, key))
                 else:
-                    where_subqs.append(("in", wq.lhs, inner_df, key, 0, 0))
+                    where_subqs.append(("in", wq.lhs, inner_df, key))
             else:
-                nonempty = int(not inner_df.isEmpty())
-                where_subqs.append((wq.kind, None, None, None, nonempty, 0))
+                nonempty = not inner_df.isEmpty()
+                if (wq.kind == "exists") != nonempty:
+                    # statically false EXISTS/NOT EXISTS: constant-false
+                    # WHERE — same reasoning as above
+                    raise Unsupported(f"{wq.kind} is statically false")
+                # statically true: no filter needed at all
 
         for name, expr in p.composites:
             # reject unparseable residuals (window-over-agg, stray
@@ -866,26 +884,39 @@ class VerdictContext:
         """Evaluate composite residuals on a progressive snapshot and
         drop the hidden partial columns — the per-step estimate then
         carries exactly the select-list aliases.  Spark-engine frames
-        stay DataFrames; driver frames take one small local round trip
-        (they are already O(groups) driver-side)."""
+        stay DataFrames.  Driver frames evaluate arithmetic residuals
+        in pandas directly (``DataFrame.eval``) — a per-step Spark
+        round trip just to divide two columns would add a job per
+        refinement; only residuals pandas can't evaluate (SQL-only
+        functions) fall back to the one-off Spark expression."""
         from .sampling.progressive import ProgressiveResult
 
-        sdf = res.estimates_sdf
-        if sdf is None:
-            sdf = self.spark.createDataFrame(res.estimates)
-        for name, expr in composites:
-            sdf = sdf.withColumn(name, F.expr(expr))
-        keep = [
-            c for c in sdf.columns
-            if not any(c == h or c == f"{h}_err" for h in drop)
-        ]
-        sdf = sdf.select(*keep)
         out = ProgressiveResult.__new__(ProgressiveResult)
         out.__dict__.update(res.__dict__)
         if res.estimates_sdf is not None:
-            out.estimates_sdf, out._pdf = sdf, None
-        else:
-            out.estimates_sdf, out._pdf = None, sdf.toPandas()
+            sdf = res.estimates_sdf
+            for name, expr in composites:
+                sdf = sdf.withColumn(name, F.expr(expr))
+            out.estimates_sdf = sdf.select(
+                *[c for c in sdf.columns
+                  if not any(c == h or c == f"{h}_err" for h in drop)]
+            )
+            out._pdf = None
+            return out
+        pdf = res.estimates.copy()
+        try:
+            for name, expr in composites:
+                pdf[name] = pdf.eval(expr)
+        except Exception:
+            sdf = self.spark.createDataFrame(res.estimates)
+            for name, expr in composites:
+                sdf = sdf.withColumn(name, F.expr(expr))
+            pdf = sdf.toPandas()
+        out.estimates_sdf = None
+        out._pdf = pdf[
+            [c for c in pdf.columns
+             if not any(c == h or c == f"{h}_err" for h in drop)]
+        ]
         return out
 
     # ------------------------------------------------------- execution
@@ -942,32 +973,20 @@ class VerdictContext:
                     c = batch[hc] == dim_df[dc]
                     cond = c if cond is None else cond & c
                 batch = batch.join(dim_df, cond, how)
-            for kind, lhs, inner_df, key, n, nn in plan.where_subqs:
+            for kind, lhs, inner_df, key in plan.where_subqs:
                 # WHERE-subquery conjuncts as join filters (AQE picks
-                # broadcast vs shuffle by the inner's actual size)
+                # broadcast vs shuffle by the inner's actual size);
+                # constant-outcome cases were resolved at plan time
                 if kind == "in":
                     batch = batch.join(
                         inner_df, F.expr(lhs) == F.col(key), "left_semi"
                     )
-                elif kind == "not_in":
-                    if n == 0:
-                        pass  # NOT IN over an empty set keeps every row
-                    elif nn < n:
-                        # a NULL in the inner set: x NOT IN S is never
-                        # TRUE for any x — empty result, per SQL
-                        batch = batch.where(F.lit(False))
-                    else:
-                        # NULL probe values compare to NULL, not TRUE:
-                        # filter them before the anti join keeps them
-                        batch = batch.where(F.expr(lhs).isNotNull()).join(
-                            inner_df, F.expr(lhs) == F.col(key), "left_anti"
-                        )
-                elif kind == "exists":
-                    if not n:
-                        batch = batch.where(F.lit(False))
-                elif kind == "not_exists":
-                    if n:
-                        batch = batch.where(F.lit(False))
+                else:  # not_in, NULL-free inner: NULL probe values
+                    # compare to NULL, not TRUE — filter them before
+                    # the anti join would keep them
+                    batch = batch.where(F.expr(lhs).isNotNull()).join(
+                        inner_df, F.expr(lhs) == F.col(key), "left_anti"
+                    )
             if p.where is not None:
                 batch = batch.where(F.expr(p.where))
             for name, expr in plan.derived:

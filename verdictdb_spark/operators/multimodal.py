@@ -473,6 +473,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fake: bool = False) -> DataF
                 try:
                     _, _, px_frames = decode_avi(blob)
                 except ValueError as e:
+                    if "not a RIFF/AVI" not in str(e):
+                        raise  # corrupt AVI structure — not a codec gap
                     # non-RIFF container (MP4/MKV/opaque bytes): refuse
                     # with the same honest external-codec message as
                     # compressed streams, not a cryptic mid-job error

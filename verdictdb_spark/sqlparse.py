@@ -374,6 +374,14 @@ _ALIAS_STOPWORDS = frozenset(
     "ASC DESC AND OR NOT NULL TRUE FALSE END OVER ALL DISTINCT IS IN "
     "BETWEEN LIKE ESCAPE CASE WHEN THEN ELSE AS".split()
 )
+# infix keywords: a head ENDING in one of these is an incomplete
+# expression, so the trailing word is its operand, not an alias
+# (`a LIKE b`, `INTERVAL '1' DAY`)
+_INFIX_TAIL = frozenset(
+    "LIKE RLIKE REGEXP ILIKE IN IS NOT AND OR BETWEEN ESCAPE AS THEN "
+    "WHEN ELSE CASE OVER FILTER DISTINCT ALL UNION EXCEPT INTERSECT "
+    "INTERVAL BY ORDER GROUP END".split()
+)
 
 
 def _split_alias(item: str) -> tuple[str, str | None]:
@@ -391,7 +399,9 @@ def _split_alias(item: str) -> tuple[str, str | None]:
         r"\s*(?P<head>[\s\S]*[\)\w])\s+(?P<alias>[A-Za-z_]\w*)\s*", masked
     )
     if m and m.group("alias").upper() not in _ALIAS_STOPWORDS:
-        return item[: m.end("head")].strip(), m.group("alias")
+        head_words = re.findall(r"\w+", m.group("head"))
+        if not (head_words and head_words[-1].upper() in _INFIX_TAIL):
+            return item[: m.end("head")].strip(), m.group("alias")
     return item.strip(), None
 
 
@@ -447,29 +457,14 @@ def _extract_where_subqs(
             keep.append(c)
             continue
         masked = _mask(c)  # depth-0 only: subquery body blanked, parens kept
-        m = re.fullmatch(
-            r"\s*(?P<not>NOT\s+)?EXISTS\s*\(\s*\)\s*", masked, re.IGNORECASE
-        )
-        if m is None:
-            m = re.fullmatch(
-                r"\s*(?P<lhs>.+?)\s+(?P<not>NOT\s+)?IN\s*\(\s*\)\s*",
-                masked,
-                re.IGNORECASE,
-            )
-        if m is None:
+        # the conjunct must END with the subquery's balanced paren
+        # group: walk back from the final ')' to its matching '(' —
+        # parens survive masking at EVERY depth, so a nested inner
+        # subquery or function call cannot confuse the balance
+        tail = masked.rstrip()
+        if not tail.endswith(")"):
             raise Unsupported(f"non-rewritable subquery conjunct {c.strip()[:60]!r}")
-        if m.groupdict().get("lhs") and re.search(
-            r"\b(OR|NOT)\b", m.group("lhs"), re.IGNORECASE
-        ):
-            # `a = 1 OR x IN (SELECT ...)`: the subquery is under a
-            # disjunction — it cannot become a standalone join filter
-            raise Unsupported(f"subquery under OR/NOT in {c.strip()[:60]!r}")
-        # the subquery parens are the conjunct's final balanced group
-        # (fullmatch above): walk back from the last ')' to its
-        # matching '(' — parens survive masking at every depth, so an
-        # lhs containing parens or a nested inner subquery can't
-        # confuse this
-        close = masked.rindex(")")
+        close = len(tail) - 1
         depth, op = 0, -1
         for i in range(close, -1, -1):
             if masked[i] == ")":
@@ -479,20 +474,36 @@ def _extract_where_subqs(
                 if depth == 0:
                     op = i
                     break
+        if op < 0:
+            raise Unsupported(f"unbalanced WHERE conjunct {c.strip()[:60]!r}")
+        # what precedes the parens must be `[lhs] [NOT] IN|EXISTS`
+        m = re.search(
+            r"(?:^|[\s)])(?P<not>NOT\s+)?(?P<kw>IN|EXISTS)\s*$",
+            masked[:op],
+            re.IGNORECASE,
+        )
+        if m is None:
+            raise Unsupported(f"non-rewritable subquery conjunct {c.strip()[:60]!r}")
         inner = c[op + 1 : close].strip()
         if not re.match(r"^\s*select\b", inner, re.IGNORECASE):
             raise Unsupported("non-SELECT parenthesized WHERE term")
-        lhs = m.groupdict().get("lhs")
-        kind = "exists" if lhs is None else "in"
-        if m.group("not"):
-            kind = "not_" + kind
-        subqs.append(
-            WhereSubquery(
-                kind=kind,
-                lhs=strip_qualifiers(lhs, aliases) if lhs else None,
-                inner=inner,
-            )
-        )
+        lhs_end = m.start("not") if m.group("not") else m.start("kw")
+        lhs_raw = c[:lhs_end].strip()  # sliced from the ORIGINAL text
+        if m.group("kw").upper() == "EXISTS":
+            if lhs_raw:
+                raise Unsupported("EXISTS with a probe expression")
+            kind = "not_exists" if m.group("not") else "exists"
+            lhs = None
+        else:
+            if not lhs_raw:
+                raise Unsupported("IN without a probe expression")
+            if re.search(r"\b(OR|NOT)\b", masked[:lhs_end], re.IGNORECASE):
+                # `a = 1 OR x IN (SELECT ...)`: the subquery is under a
+                # disjunction — it cannot become a standalone join filter
+                raise Unsupported(f"subquery under OR/NOT in {c.strip()[:60]!r}")
+            kind = "not_in" if m.group("not") else "in"
+            lhs = strip_qualifiers(lhs_raw, aliases)
+        subqs.append(WhereSubquery(kind=kind, lhs=lhs, inner=inner))
     return (" AND ".join(keep) if keep else None), subqs
 
 
