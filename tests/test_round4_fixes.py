@@ -245,6 +245,93 @@ def test_parse_where_in_lhs_and_inner_not_masked():
     assert p2.where_subqs[0].lhs == "x || 'z'"
 
 
+def test_case_end_and_window_implicit_aliases():
+    """Review regression: CASE ... END sign and sum(x) OVER (...) w
+    are complete expressions — the trailing word IS an alias."""
+    from verdictdb_spark.sqlparse import _split_alias
+
+    assert _split_alias("CASE WHEN a > 0 THEN 'p' ELSE 'n' END sign") == (
+        "CASE WHEN a > 0 THEN 'p' ELSE 'n' END",
+        "sign",
+    )
+    assert _split_alias("sum(x) OVER (PARTITION BY g) w") == (
+        "sum(x) OVER (PARTITION BY g)",
+        "w",
+    )
+    p = parse_select(
+        "SELECT CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END band, "
+        "count(*) AS c FROM t GROUP BY 1"
+    )
+    assert p.select_order == ["band", "c"]
+
+
+def test_sql_case_group_implicit_alias(ctx, lineitem):
+    out = ctx.sql(
+        "SELECT CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END band, "
+        "count(*) AS c FROM lineitem GROUP BY 1 ORDER BY band",
+        early_stop=False,
+    ).toPandas()
+    assert list(out.columns) == ["band", "c"]
+    exact = (
+        lineitem.groupBy(
+            F.when(F.col("l_quantity") > 25, "hi").otherwise("lo").alias("band")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("band")
+        .toPandas()
+    )
+    assert out["c"].to_numpy() == pytest.approx(exact["c"].to_numpy())
+
+
+def test_stream_const_false_yields_nothing(spark, tmp_path, lineitem):
+    spark.sql(
+        "SELECT * FROM VALUES (1), (CAST(NULL AS BIGINT)) AS t(k)"
+    ).createOrReplaceTempView("ns_stream")
+    c = VerdictContext(spark, str(tmp_path))
+    c.create_scramble("lineitem", lineitem, method="uniform", nblocks=4, seed=1)
+    res = list(
+        c.stream(
+            "SELECT count(*) AS c FROM lineitem WHERE l_orderkey NOT IN "
+            "(SELECT k FROM ns_stream)"
+        )
+    )
+    assert res == []  # constant-false: nothing to refine, no crash
+
+
+def test_where_in_inner_unpersisted_after_run(ctx, spark, lineitem, orders):
+    """Review regression: the plan-time-persisted inner must not leak
+    into the Spark cache after the query completes."""
+    before = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    ctx.sql(
+        "SELECT count(*) AS c FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)",
+        early_stop=False,
+    ).collect()
+    after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    assert after <= before + 1  # localCheckpoints aside, no growing leak
+
+
+def test_stream_composite_div_by_zero_matches_sql_null(spark, tmp_path):
+    """pandas-eval fast path must not report inf where Spark gives
+    NULL for x/0."""
+    pdf = spark.createDataFrame(
+        [(i % 3, float(i), 0.0 if i % 3 == 0 else 1.0) for i in range(3000)],
+        "g int, a double, b double",
+    )
+    pdf.createOrReplaceTempView("dz")
+    c = VerdictContext(spark, str(tmp_path))
+    c.create_scramble("dz", spark.table("dz"), method="uniform", nblocks=3, seed=2)
+    res = list(
+        c.stream("SELECT g, sum(a)/sum(b) AS r FROM dz GROUP BY g")
+    )
+    est = res[-1].estimates
+    import numpy as np
+
+    assert not np.isinf(est["r"].to_numpy(dtype=float)).any()
+    # g=0 has sum(b)=0 -> NULL/NaN, matching Spark SQL
+    assert est.set_index("g")["r"].isna().loc[0]
+
+
 def test_parse_infix_tail_not_implicit_alias():
     p = parse_select("SELECT g, count(*) AS c FROM t WHERE a LIKE b GROUP BY g")
     assert p.where.strip() == "a LIKE b"

@@ -162,6 +162,17 @@ class _Plan:
     # WHERE-subquery join filters: (kind in|not_in, lhs, inner_df, key)
     # — constant-outcome subqueries were resolved away at plan time
     where_subqs: list[tuple] = field(default_factory=list)
+    # WHERE proven constant-false at plan time (NULL-bearing NOT IN
+    # set, statically false EXISTS): sql() runs exact once, stream()
+    # yields nothing — neither runs the progressive scan
+    const_false: bool = False
+
+    def release(self) -> None:
+        """Unpersist the plan-time-persisted WHERE-subquery inners —
+        call when the progressive run is done (or abandoned), else the
+        Spark cache grows by one entry per planned query."""
+        for _, _, inner_df, _ in self.where_subqs:
+            inner_df.unpersist()
 
 
 class VerdictContext:
@@ -383,6 +394,11 @@ class VerdictContext:
                 raise
             plan = None
         if plan is None:
+            return self.spark.sql(query)
+        if plan.const_false:
+            # WHERE proven constant-false at plan time: the exact run
+            # IS the answer (empty groups / NULL aggregates) — one
+            # execution, no progressive scan
             return self.spark.sql(query)
         try:
             return self._execute(plan, early_stop=early_stop, with_errors=with_errors)
@@ -623,60 +639,6 @@ class VerdictContext:
             return None  # nothing to substitute — plain exact SQL
         if subq_at and (len(scramble_at) > 1 or len(subq_at) > 1):
             raise Unsupported("derived table over a scramble in a scramble join")
-        # WHERE subqueries: execute each inner exactly (dimensions are
-        # exact by definition; the semi/anti filter is row-local, so
-        # per-row inclusion probabilities carry through).  Correlated
-        # subqueries fail inner resolution and fall back to exact —
-        # SQL scoping resolves inner-first, so a name that DOES
-        # resolve inside the subquery means the query was never
-        # correlated on it.
-        where_subqs: list[tuple] = []
-        for k, wq in enumerate(p.where_subqs):
-            try:
-                inner_df = self.spark.sql(wq.inner)
-            except AnalysisException:
-                raise Unsupported(
-                    f"unresolvable (or correlated) WHERE subquery #{k}"
-                )
-            if wq.kind in ("in", "not_in"):
-                if len(inner_df.columns) != 1:
-                    raise Unsupported("IN subquery must produce exactly one column")
-                key = f"_vdb_inq{k}"
-                # persist: the per-block transform re-joins this frame
-                # once per refinement step — without it the inner
-                # re-executes per step (at cluster scale swap for a
-                # reliable checkpoint, same as the estimator note)
-                inner_df = inner_df.select(
-                    F.col(inner_df.columns[0]).alias(key)
-                ).persist()
-                if wq.kind == "not_in":
-                    # SQL NOT IN three-valued logic needs the inner's
-                    # row/non-null counts (a NULL in the inner set
-                    # disqualifies every probe row)
-                    row = inner_df.agg(
-                        F.count(F.lit(1)).alias("n"), F.count(key).alias("nn")
-                    ).first()
-                    n_rows, n_nonnull = int(row["n"]), int(row["nn"])
-                    if n_rows == 0:
-                        continue  # NOT IN over empty set keeps every row
-                    if n_nonnull < n_rows:
-                        # constant-false WHERE: running the progressive
-                        # scan would yield zero partials and a doubled
-                        # exact re-run — let exact answer it once
-                        raise Unsupported(
-                            "NOT IN over a NULL-bearing set is constant-false"
-                        )
-                    where_subqs.append(("not_in", wq.lhs, inner_df, key))
-                else:
-                    where_subqs.append(("in", wq.lhs, inner_df, key))
-            else:
-                nonempty = not inner_df.isEmpty()
-                if (wq.kind == "exists") != nonempty:
-                    # statically false EXISTS/NOT EXISTS: constant-false
-                    # WHERE — same reasoning as above
-                    raise Unsupported(f"{wq.kind} is statically false")
-                # statically true: no filter needed at all
-
         for name, expr in p.composites:
             # reject unparseable residuals (window-over-agg, stray
             # syntax) BEFORE the progressive run — discovering the
@@ -833,6 +795,72 @@ class VerdictContext:
                 derived.append((gi.alias, gi.expr))
                 group_cols.append(gi.alias)
 
+        # WHERE subqueries — resolved LAST so nothing else in this
+        # method can raise Unsupported after an inner was executed and
+        # persisted (that would leak the cache entry).  Each inner runs
+        # exactly (dimensions are exact by definition; the semi/anti
+        # filter is row-local, so per-row inclusion probabilities carry
+        # through).  Correlated subqueries fail inner resolution and
+        # fall back to exact — SQL scoping resolves inner-first, so a
+        # name that DOES resolve inside the subquery means the query
+        # was never correlated on it.
+        where_subqs: list[tuple] = []
+        const_false = False
+        try:
+            for k, wq in enumerate(p.where_subqs):
+                try:
+                    inner_df = self.spark.sql(wq.inner)
+                except AnalysisException:
+                    raise Unsupported(
+                        f"unresolvable (or correlated) WHERE subquery #{k}"
+                    )
+                if wq.kind in ("in", "not_in"):
+                    if len(inner_df.columns) != 1:
+                        raise Unsupported(
+                            "IN subquery must produce exactly one column"
+                        )
+                    key = f"_vdb_inq{k}"
+                    # persist: the per-block transform re-joins this
+                    # frame once per refinement step — without it the
+                    # inner re-executes per step.  _Plan.release()
+                    # unpersists when the run finishes (at cluster
+                    # scale swap for a reliable checkpoint)
+                    inner_df = inner_df.select(
+                        F.col(inner_df.columns[0]).alias(key)
+                    ).persist()
+                    if wq.kind == "not_in":
+                        # SQL NOT IN three-valued logic needs the
+                        # inner's row/non-null counts (a NULL in the
+                        # inner set disqualifies every probe row)
+                        row = inner_df.agg(
+                            F.count(F.lit(1)).alias("n"), F.count(key).alias("nn")
+                        ).first()
+                        n_rows, n_nonnull = int(row["n"]), int(row["nn"])
+                        if n_rows == 0:
+                            inner_df.unpersist()
+                            continue  # NOT IN over empty set: keep all
+                        if n_nonnull < n_rows:
+                            # WHERE proven constant-false: flag it so
+                            # sql() answers exactly ONCE and stream()
+                            # yields nothing — no progressive scan
+                            inner_df.unpersist()
+                            const_false = True
+                            break
+                        where_subqs.append(("not_in", wq.lhs, inner_df, key))
+                    else:
+                        where_subqs.append(("in", wq.lhs, inner_df, key))
+                else:
+                    nonempty = not inner_df.isEmpty()
+                    if (wq.kind == "exists") != nonempty:
+                        # statically false EXISTS/NOT EXISTS — as above
+                        const_false = True
+                        break
+                    # statically true: no filter needed at all
+        except BaseException:
+            for _, _, df_, _ in where_subqs:
+                df_.unpersist()
+            raise
+
         return _Plan(
             parsed=p,
             scrambles=[scramble_at[i] for i in scr_order],
@@ -844,6 +872,7 @@ class VerdictContext:
             derived=derived,
             scramble_subq=subq_at.get(scr_order[0]),
             where_subqs=where_subqs,
+            const_false=const_false,
         )
 
     def _exec_kwargs(self) -> dict:
@@ -871,14 +900,22 @@ class VerdictContext:
         plan = self._plan(query)
         if plan is None:
             raise Unsupported("no registered scramble for STREAM query")
+        if plan.const_false:
+            # constant-false WHERE: the stream legitimately refines
+            # nothing — an empty iterator, matching the progressive
+            # contract (no estimates from zero rows)
+            return
         renames = plan.group_renames
         composites = plan.parsed.composites
         hidden = [a.alias for a in plan.parsed.agg_items if a.hidden]
-        for res in self._progression(plan):
-            res = res.renamed(renames)
-            if composites:
-                res = self._apply_composites(res, composites, hidden)
-            yield res
+        try:
+            for res in self._progression(plan):
+                res = res.renamed(renames)
+                if composites:
+                    res = self._apply_composites(res, composites, hidden)
+                yield res
+        finally:
+            plan.release()
 
     def _apply_composites(self, res, composites, drop: list[str]):
         """Evaluate composite residuals on a progressive snapshot and
@@ -905,8 +942,18 @@ class VerdictContext:
             return out
         pdf = res.estimates.copy()
         try:
+            import numpy as np
+            import pandas as pd
+
             for name, expr in composites:
-                pdf[name] = pdf.eval(expr)
+                if "%" in expr:
+                    # pandas % uses Python sign semantics (-7 % 3 == 2),
+                    # Spark uses C semantics (-1) — not equivalent
+                    raise ValueError("modulo needs SQL semantics")
+                # x/0 is inf in pandas but NULL in Spark SQL
+                pdf[name] = pd.Series(pdf.eval(expr)).replace(
+                    [np.inf, -np.inf], np.nan
+                )
         except Exception:
             sdf = self.spark.createDataFrame(res.estimates)
             for name, expr in composites:
@@ -1002,12 +1049,17 @@ class VerdictContext:
 
         p = plan.parsed
         kw = self._exec_kwargs()
-        res = fold_progressive(
-            self._progression(plan), plan.aggs, plan.group_cols,
-            early_stop=early_stop,
-            value_threshold=kw["value_threshold"],
-            group_threshold=kw["group_threshold"],
-        )
+        try:
+            res = fold_progressive(
+                self._progression(plan), plan.aggs, plan.group_cols,
+                early_stop=early_stop,
+                value_threshold=kw["value_threshold"],
+                group_threshold=kw["group_threshold"],
+            )
+        finally:
+            # the estimates are materialized (driver pandas or
+            # localCheckpoint) — the WHERE-subquery inners are done
+            plan.release()
 
         res = res.renamed(plan.group_renames)
         if res.estimates_sdf is not None:

@@ -376,11 +376,12 @@ _ALIAS_STOPWORDS = frozenset(
 )
 # infix keywords: a head ENDING in one of these is an incomplete
 # expression, so the trailing word is its operand, not an alias
-# (`a LIKE b`, `INTERVAL '1' DAY`)
+# (`a LIKE b`, `INTERVAL '1' DAY`).  END is NOT here: it terminates a
+# CASE, so a word after it IS an alias (`CASE ... END sign`).
 _INFIX_TAIL = frozenset(
     "LIKE RLIKE REGEXP ILIKE IN IS NOT AND OR BETWEEN ESCAPE AS THEN "
     "WHEN ELSE CASE OVER FILTER DISTINCT ALL UNION EXCEPT INTERSECT "
-    "INTERVAL BY ORDER GROUP END".split()
+    "INTERVAL BY ORDER GROUP".split()
 )
 
 
@@ -399,7 +400,13 @@ def _split_alias(item: str) -> tuple[str, str | None]:
         r"\s*(?P<head>[\s\S]*[\)\w])\s+(?P<alias>[A-Za-z_]\w*)\s*", masked
     )
     if m and m.group("alias").upper() not in _ALIAS_STOPWORDS:
-        head_words = re.findall(r"\w+", m.group("head"))
+        head = m.group("head").rstrip()
+        if head.endswith(")"):
+            # a head ending in ')' is a complete call / parenthesized
+            # expression (incl. sum(x) OVER (...)): trailing word is
+            # its alias — the infix check below is for WORD tails only
+            return item[: m.end("head")].strip(), m.group("alias")
+        head_words = re.findall(r"\w+", head)
         if not (head_words and head_words[-1].upper() in _INFIX_TAIL):
             return item[: m.end("head")].strip(), m.group("alias")
     return item.strip(), None
