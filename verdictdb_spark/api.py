@@ -860,6 +860,15 @@ class VerdictContext:
             for _, _, df_, _ in where_subqs:
                 df_.unpersist()
             raise
+        if const_false:
+            # a LATER subquery proved the WHERE constant-false: the
+            # earlier conjuncts' persisted inners will never be joined
+            # (sql()/stream() short-circuit before _execute, so
+            # plan.release() is never reached) — drop them NOW or they
+            # stay in the Spark cache for the context's lifetime
+            for _, _, df_, _ in where_subqs:
+                df_.unpersist()
+            where_subqs = []
 
         return _Plan(
             parsed=p,

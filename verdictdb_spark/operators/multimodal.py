@@ -424,6 +424,14 @@ def decode_avi(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                     raise ValueError("frame chunk before video stream format")
                 row_bytes = w * 3
                 stride = row_bytes + ((-row_bytes) % 4)
+                if size < stride * h:
+                    # undersized 00db/00dc chunk: reading count=stride*h
+                    # would silently consume adjacent container bytes
+                    # as pixel data
+                    raise ValueError(
+                        f"corrupt AVI: frame chunk holds {size} bytes, "
+                        f"format requires {stride * h}"
+                    )
                 rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=body)
                 px = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
                 if not topdown:

@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .scramble import BLOCK_COL, TIER_COL, ScrambleMeta
 
@@ -458,11 +459,25 @@ def _lift_partials(spark, pdfs: list[pd.DataFrame], template: DataFrame) -> Data
     ``createDataFrame`` would reject them — instead the frame is
     uploaded with inferred types and each column is ``try_cast`` back
     to the template type (NaN -> NULL, which is what the NaN meant).
-    Raises on uninferable all-NULL object columns; the caller falls
-    back to a rescan in that case."""
+    Raises on uninferable all-NULL object columns OR on float-coerced
+    integer columns whose magnitude exceeds 2**53 (float64 can no
+    longer represent the bigint exactly — the round-trip would be
+    lossy); the caller falls back to a rescan in either case."""
     pdf = pd.concat(pdfs, ignore_index=True)
-    sdf = spark.createDataFrame(pdf)
     by_name = {f.name: f.dataType for f in template.schema.fields}
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in pdf.columns:
+        if isinstance(by_name.get(c), int_types) and pd.api.types.is_float_dtype(
+            pdf[c]
+        ):
+            vals = pdf[c].to_numpy()
+            finite = vals[np.isfinite(vals)]
+            if finite.size and np.abs(finite).max() > 2.0**53:
+                raise ValueError(
+                    f"partial column {c!r} exceeds float64 exact-integer "
+                    "range; lift would lose precision"
+                )
+    sdf = spark.createDataFrame(pdf)
     return sdf.select(
         *[
             sdf[c].try_cast(by_name[c]).alias(c) if c in by_name else sdf[c]

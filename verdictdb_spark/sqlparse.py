@@ -456,6 +456,15 @@ def _extract_where_subqs(
         r"\bselect\b", _mask(text, keep_depth0_only=False), re.IGNORECASE
     ):
         return text, []
+    # A top-level OR anywhere in the WHERE makes AND-conjunct
+    # extraction unsound: `a = 1 OR b = 2 AND x IN (SELECT ...)`
+    # parses as `a OR (b AND x IN ...)`, but splitting on AND would
+    # hoist the subquery into a MANDATORY semi-join filter — silently
+    # wrong results.  (Parenthesized ORs are invisible to the depth-0
+    # mask and remain fine: `(a OR b) AND x IN (...)` is a genuine
+    # conjunction.)  Exact fallback.
+    if re.search(r"\bOR\b", _mask(text), re.IGNORECASE):
+        raise Unsupported("WHERE mixes top-level OR with a subquery")
     keep: list[str] = []
     subqs: list[WhereSubquery] = []
     for c in _split_top_level(text, r"\bAND\b"):
