@@ -125,8 +125,10 @@ def test_parse_left_join_how():
         "SELECT count(*) AS c FROM a LEFT JOIN b ON a.x = b.y"
     )
     assert p.joins[0].how == "left"
-    with pytest.raises(Unsupported):
-        parse_select("SELECT count(*) AS c FROM a RIGHT JOIN b ON a.x = b.y")
+    # round 5: RIGHT JOIN now parses by mirroring to the LEFT shape
+    pr = parse_select("SELECT count(*) AS c FROM a RIGHT JOIN b ON a.x = b.y")
+    assert [t.name for t in pr.tables] == ["b", "a"]
+    assert pr.joins[0].how == "left"
     with pytest.raises(Unsupported):
         parse_select("SELECT count(*) AS c FROM a FULL OUTER JOIN b ON a.x = b.y")
 

@@ -139,6 +139,313 @@ def test_lift_partials_rejects_bigint_beyond_float64_exact(spark):
     assert out.collect()[0]["psum_x"] == 2**50
 
 
+# -------------------------------------------- nested aggregation (depth 2+)
+NESTED_INNER = (
+    "SELECT l_orderkey, sum(l_quantity) AS s, count(*) AS n "
+    "FROM lineitem GROUP BY l_orderkey"
+)
+
+
+def test_nested_agg_depth2_full_coverage_exact(ctx, spark, lineitem):
+    """Exact outer over the approximate inner: full coverage == exact
+    (the reference's aggregations-over-aggregations class,
+    supported_queries.md:17-21)."""
+    q = (
+        "SELECT count(*) AS n_orders, sum(s) AS total_qty, max(n) AS max_lines "
+        f"FROM ({NESTED_INNER}) t"
+    )
+    got = ctx.sql(q, early_stop=False).collect()[0]
+    want = spark.sql(q).collect()[0]
+    assert got["n_orders"] == want["n_orders"]
+    assert got["total_qty"] == pytest.approx(want["total_qty"])
+    assert got["max_lines"] == pytest.approx(want["max_lines"])
+
+
+def test_nested_agg_outer_group_having_order(ctx, spark, lineitem):
+    q = (
+        "SELECT n, count(*) AS orders_with_n, avg(s) AS avg_qty "
+        f"FROM ({NESTED_INNER}) t "
+        "GROUP BY n HAVING count(*) > 10 ORDER BY n"
+    )
+    got = [r.asDict() for r in ctx.sql(q, early_stop=False).collect()]
+    want = [r.asDict() for r in spark.sql(q).collect()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g["n"] == pytest.approx(w["n"])
+        assert g["orders_with_n"] == w["orders_with_n"]
+        assert g["avg_qty"] == pytest.approx(w["avg_qty"])
+
+
+def test_nested_agg_depth3(ctx, spark, lineitem):
+    q = (
+        "SELECT max(m) AS mm FROM (SELECT n, avg(s) AS m "
+        f"FROM ({NESTED_INNER}) a GROUP BY n) b"
+    )
+    got = ctx.sql(q, early_stop=False).collect()[0]["mm"]
+    want = spark.sql(q).collect()[0]["mm"]
+    assert got == pytest.approx(want)
+
+
+def test_nested_agg_outer_window_function(ctx, spark, lineitem):
+    """The outer runs at the FULL Spark SQL surface — a window function
+    the front door itself rejects still works above a substituted
+    inner."""
+    q = (
+        "SELECT l_orderkey, s, rank() OVER (ORDER BY s DESC, l_orderkey) AS rk "
+        f"FROM ({NESTED_INNER}) t ORDER BY rk LIMIT 5"
+    )
+    got = [r.asDict() for r in ctx.sql(q, early_stop=False).collect()]
+    want = [r.asDict() for r in spark.sql(q).collect()]
+    for g, w in zip(got, want):
+        assert g["l_orderkey"] == w["l_orderkey"]
+        assert g["s"] == pytest.approx(w["s"])
+        assert g["rk"] == w["rk"]
+
+
+def test_nested_agg_consumes_spark_engine_frame(ctx, spark, lineitem, monkeypatch):
+    """With the Spark estimate engine, the outer must consume the
+    DISTRIBUTED inner frame — .estimates raising proves no driver
+    round-trip of the inner's O(groups) rows."""
+    from verdictdb_spark.sampling.progressive import ProgressiveResult
+
+    def boom(self):
+        raise AssertionError("driver materialization of inner estimates")
+
+    monkeypatch.setattr(ProgressiveResult, "estimates", property(boom))
+    ctx.sql("SET verdictdb.engine = spark")
+    try:
+        got = ctx.sql(
+            f"SELECT count(*) AS n_orders, sum(s) AS total FROM ({NESTED_INNER}) t",
+            early_stop=False,
+        ).collect()[0]
+    finally:
+        ctx.sql("SET verdictdb.engine = auto")
+    monkeypatch.undo()
+    exact = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("s").alias("total"))
+        .collect()[0]
+    )
+    assert got["n_orders"] == exact["n_orders"]
+    assert got["total"] == pytest.approx(exact["total"])
+
+
+def test_nested_agg_no_scramble_falls_back(ctx, spark, orders):
+    # inner over an UNSCRAMBLED table: nothing to substitute — plain
+    # exact result, and no temp view left behind
+    q = (
+        "SELECT max(t) AS m FROM (SELECT o_custkey, sum(o_totalprice) AS t "
+        "FROM orders GROUP BY o_custkey) x"
+    )
+    assert ctx._try_nested(q, early_stop=False) is None
+    got = ctx.sql(q).collect()[0]["m"]
+    want = spark.sql(q).collect()[0]["m"]
+    assert got == want
+
+
+def test_nested_agg_cleans_temp_views(ctx, spark, lineitem):
+    ctx.sql(f"SELECT sum(s) AS t FROM ({NESTED_INNER}) x", early_stop=False).collect()
+    leftover = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("_vdb_nested")
+    ]
+    assert leftover == []
+
+
+# ------------------------------------------- scalar comparison subquery
+def test_scalar_subquery_full_coverage_exact(ctx, spark, lineitem):
+    q = (
+        "SELECT l_returnflag, count(*) AS c FROM lineitem "
+        "WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    got = [r.asDict() for r in ctx.sql(q, early_stop=False).collect()]
+    want = [r.asDict() for r in spark.sql(q).collect()]
+    assert [g["l_returnflag"] for g in got] == [w["l_returnflag"] for w in want]
+    for g, w in zip(got, want):
+        assert g["c"] == pytest.approx(w["c"])
+
+
+def test_scalar_subquery_null_inner_const_false(ctx, spark, lineitem):
+    q = (
+        "SELECT count(*) AS c FROM lineitem "
+        "WHERE l_quantity > (SELECT max(l_quantity) FROM lineitem WHERE 1 = 0)"
+    )
+    assert ctx.sql(q).collect()[0]["c"] == spark.sql(q).collect()[0]["c"] == 0
+
+
+def test_scalar_subquery_multirow_inner_falls_back():
+    from verdictdb_spark.sqlparse import parse_select
+
+    # parse accepts the shape; the PLANNER rejects multi-row inners at
+    # plan time (covered end-to-end by the exact fallback) — here pin
+    # that parsing classifies the conjunct as scalar
+    p = parse_select(
+        "SELECT count(*) AS c FROM t WHERE x > (SELECT y FROM u)"
+    )
+    assert p.where_subqs[0].kind == "scalar"
+    assert p.where_subqs[0].comp == ">"
+    assert p.where is None
+
+
+# ----------------------------------------------------- RIGHT JOIN mirror
+def test_right_join_mirrors_to_left(ctx, spark, lineitem, orders):
+    spark.sql(
+        "SELECT * FROM orders WHERE o_totalprice > 150000"
+    ).createOrReplaceTempView("orders_hot_r5")
+    q = (
+        "SELECT l_returnflag, count(*) AS n_rows, count(o_orderkey) AS n_matched "
+        "FROM orders_hot_r5 RIGHT JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    got = [r.asDict() for r in ctx.sql(q, early_stop=False).collect()]
+    want = [r.asDict() for r in spark.sql(q).collect()]
+    for g, w in zip(got, want):
+        assert g["n_rows"] == pytest.approx(w["n_rows"])
+        assert g["n_matched"] == pytest.approx(w["n_matched"])
+    # null-extension actually happened
+    assert all(g["n_matched"] < g["n_rows"] for g in got)
+
+
+def test_right_join_scramble_on_null_side_falls_back(ctx, spark, lineitem, orders):
+    # lineitem RIGHT JOIN orders preserves orders; the scramble is on
+    # the null-producing side -> mirrored plan must reject and fall
+    # back to exact (never wrong)
+    q = (
+        "SELECT count(*) AS c FROM lineitem RIGHT JOIN orders "
+        "ON l_orderkey = o_orderkey"
+    )
+    assert ctx.sql(q).collect()[0]["c"] == spark.sql(q).collect()[0]["c"]
+
+
+# -------------------------------------------------------- CTE inlining
+def test_cte_over_scramble_full_coverage_exact(ctx, spark, lineitem):
+    q = (
+        "WITH hot AS (SELECT l_returnflag, sum(l_quantity) AS s "
+        "FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag) "
+        "SELECT max(s) AS m FROM hot"
+    )
+    got = ctx.sql(q, early_stop=False).collect()[0]["m"]
+    want = spark.sql(q).collect()[0]["m"]
+    assert got == pytest.approx(want)
+
+
+def test_cte_chain_inlines(ctx, spark, lineitem):
+    q = (
+        "WITH a AS (SELECT l_returnflag, l_quantity FROM lineitem), "
+        "b AS (SELECT l_returnflag FROM a WHERE l_quantity > 40) "
+        "SELECT count(*) AS c FROM b"
+    )
+    got = ctx.sql(q, early_stop=False).collect()[0]["c"]
+    want = spark.sql(q).collect()[0]["c"]
+    assert got == pytest.approx(want)
+
+
+def test_cte_multiuse_refuses_and_falls_back(ctx, spark, lineitem):
+    from verdictdb_spark.sqlparse import inline_ctes
+
+    q = (
+        "WITH a AS (SELECT l_returnflag rf, count(*) c FROM lineitem "
+        "GROUP BY l_returnflag) "
+        "SELECT x.rf FROM a x JOIN a y ON x.rf = y.rf ORDER BY x.rf"
+    )
+    assert inline_ctes(q) is None  # multi-use -> keep original text
+    got = [r["rf"] for r in ctx.sql(q).collect()]
+    want = [r["rf"] for r in spark.sql(q).collect()]
+    assert got == want
+
+
+def test_cte_name_in_literal_not_counted():
+    from verdictdb_spark.sqlparse import inline_ctes
+
+    out = inline_ctes(
+        "WITH a AS (SELECT x FROM t) SELECT count(*) AS c FROM a WHERE x <> 'a'"
+    )
+    assert out is not None and "WITH" not in out and "(SELECT x FROM t) a" in out
+
+
+def test_cte_non_from_reference_refuses():
+    from verdictdb_spark.sqlparse import inline_ctes
+
+    # the single occurrence is a column qualifier, not a table position
+    assert (
+        inline_ctes("WITH a AS (SELECT x FROM t) SELECT y.a FROM y") is None
+    )
+
+
+# ---------------------------------------------------------- UNION ALL
+def test_union_all_scramble_plus_exact(ctx, spark, lineitem, orders):
+    q = (
+        "SELECT l_returnflag AS k, count(*) AS c FROM lineitem GROUP BY l_returnflag "
+        "UNION ALL "
+        "SELECT o_orderstatus AS k, count(*) AS c FROM orders GROUP BY o_orderstatus"
+    )
+    got = sorted(
+        (r["k"], round(r["c"])) for r in ctx.sql(q, early_stop=False).collect()
+    )
+    want = sorted((r["k"], r["c"]) for r in spark.sql(q).collect())
+    assert got == want
+
+
+def test_union_distinct_falls_back_exact(ctx, spark, lineitem, orders):
+    q = (
+        "SELECT l_returnflag AS k FROM lineitem GROUP BY l_returnflag "
+        "UNION SELECT o_orderstatus AS k FROM orders GROUP BY o_orderstatus"
+    )
+    assert ctx._try_union(q, early_stop=False) is None
+    got = sorted(r["k"] for r in ctx.sql(q).collect())
+    want = sorted(r["k"] for r in spark.sql(q).collect())
+    assert got == want
+
+
+def test_union_all_trailing_order_by_falls_back(ctx, spark, lineitem, orders):
+    q = (
+        "SELECT l_returnflag AS k, count(*) AS c FROM lineitem GROUP BY l_returnflag "
+        "UNION ALL "
+        "SELECT o_orderstatus AS k, count(*) AS c FROM orders GROUP BY o_orderstatus "
+        "ORDER BY c LIMIT 3"
+    )
+    assert ctx._try_union(q, early_stop=False) is None
+    got = [(r["k"], r["c"]) for r in ctx.sql(q).collect()]
+    want = [(r["k"], r["c"]) for r in spark.sql(q).collect()]
+    assert got == want
+
+
+# ------------------------------------------- composite error propagation
+def test_composite_err_column_and_bound(ctx, spark, lineitem):
+    out = ctx.sql(
+        "SELECT l_returnflag, sum(l_quantity) AS s, "
+        "sum(l_quantity)/count(*) AS r "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+        early_stop=True,
+        with_errors=True,
+    )
+    assert out.columns == ["l_returnflag", "s", "s_err", "r", "r_err"]
+    rows = out.collect()
+    exact = {
+        r["l_returnflag"]: r["r"]
+        for r in spark.sql(
+            "SELECT l_returnflag, sum(l_quantity)/count(*) AS r "
+            "FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    for r in rows:
+        assert r["r_err"] is not None and r["r_err"] >= 0
+        # the true ratio is a ratio of means — well inside estimate +-
+        # a few half-widths even at partial coverage (generous x5)
+        assert abs(r["r"] - exact[r["l_returnflag"]]) <= 5 * r["r_err"] + 1e-9
+
+
+def test_composite_err_linear_matches_input_err(ctx, spark, lineitem):
+    # for a LINEAR composite (s + 100) the delta bound equals s_err
+    out = ctx.sql(
+        "SELECT sum(l_quantity) AS s, sum(l_quantity) + 100 AS s1 FROM lineitem",
+        early_stop=True,
+        with_errors=True,
+    ).collect()[0]
+    assert out["s1_err"] == pytest.approx(out["s_err"], rel=1e-9)
+
+
 # -------------------------------------------- AVI frame-chunk validation
 def test_decode_avi_undersized_frame_chunk_raises():
     from verdictdb_spark.operators.multimodal import decode_avi, encode_avi

@@ -101,17 +101,20 @@ def test_parse_group_by_ordinal():
 
 
 def test_parse_rejects_outer_join_and_subquery():
-    # LEFT parses as of round 4 (planner enforces sides); top-level
-    # AND [NOT] IN/EXISTS subqueries lift out; RIGHT/FULL, aliasless
-    # derived tables, and OR/scalar subqueries stay exact-fallback
+    # LEFT parses as of round 4 (planner enforces sides); round 5 adds
+    # RIGHT (mirrored to LEFT) and scalar comparison subqueries; FULL,
+    # aliasless derived tables, and OR beside a subquery conjunct stay
+    # exact-fallback
+    pr = parse_select("SELECT count(*) FROM a RIGHT JOIN b ON a.x = b.y")
+    assert [t.name for t in pr.tables] == ["b", "a"] and pr.joins[0].how == "left"
     with pytest.raises(Unsupported):
-        parse_select("SELECT count(*) FROM a RIGHT JOIN b ON a.x = b.y")
+        parse_select("SELECT count(*) FROM a FULL JOIN b ON a.x = b.y")
     with pytest.raises(Unsupported):
         parse_select("SELECT count(*) FROM (SELECT * FROM t)")  # no alias
     with pytest.raises(Unsupported):
         parse_select("SELECT count(*) FROM t WHERE a = 1 OR x IN (SELECT y FROM u)")
-    with pytest.raises(Unsupported):
-        parse_select("SELECT count(*) FROM t WHERE x > (SELECT avg(y) FROM u)")
+    ps = parse_select("SELECT count(*) FROM t WHERE x > (SELECT avg(y) FROM u)")
+    assert ps.where_subqs[0].kind == "scalar" and ps.where_subqs[0].comp == ">"
 
 
 def test_parse_keywords_inside_strings_ignored():

@@ -2,22 +2,29 @@
 parallelism levels on identical input — the sandbox stand-in for
 N vs 4N executors (north_rule: throughput scaling efficiency >= 0.8).
 
-Two honesty mechanisms, because this sandbox is a virtualized 32-vCPU
-box whose HARDWARE parallel capacity saturates well below 32 workers
-(measured: a pure-numpy multiprocessing control tops out ~16 workers;
-32 workers deliver only ~1.6x the throughput of 8):
+Honesty mechanisms, because this sandbox is a virtualized 32-vCPU box
+whose HARDWARE parallel capacity saturates well below 32 workers
+(measured: a pure-numpy multiprocessing control tops out ~16 workers)
+AND whose delivered compute drifts 2-3x between host windows:
 
-1. We measure two N->4N pairs: local[2]->local[8] (inside the
-   machine's linear-scaling region) and local[8]->local[32] (the
-   literal reading of the rule, saturated region).
-2. Each pair ships with a PURE-CPU CALIBRATION control (numpy
-   multiply-sum in multiprocessing workers, no Spark) at the same
-   worker counts, so the library's efficiency can be compared to the
-   ceiling the platform itself allows.  ``normalized_efficiency`` =
-   library speedup / hardware-control speedup: 1.0 means the library
-   adds zero scaling penalty beyond the platform.
+1. Two N->4N pairs beyond the criterion pair: local[2]->local[8]
+   (inside the machine's linear-scaling region) and local[8]->local[32]
+   (the literal reading of the rule, saturated region).
+2. Every library leg is SANDWICHED between two pure-CPU calibration
+   controls (numpy multiply-sum in multiprocessing workers, no Spark)
+   at the same worker count, run contemporaneously — so a mid-run host
+   window shift is visible per leg, not just per session.  A leg whose
+   pre/post controls disagree by more than CONTROL_DRIFT_TOL was
+   measured across a window shift and invalidates the pair.
+3. ``control_efficiency_pre``/``_post`` pair the lo/hi legs' controls
+   taken at the same phase; the criterion window is CLEAN only when
+   both are >= 0.95 and no leg drifted.  ``normalized_efficiency`` =
+   library speedup / hardware-control speedup (geometric mean of the
+   two phases): 1.0 means the library adds zero scaling penalty beyond
+   the platform.
 
-Writes BENCH_SCALING.json.
+Writes BENCH_SCALING.json incrementally (criterion pair first, so a
+later bad window cannot cost the banked result).
 """
 
 from __future__ import annotations
@@ -39,6 +46,8 @@ ROWS = int(os.environ.get("SCALING_ROWS", "10240000"))
 ROWS_P1 = int(os.environ.get("SCALING_ROWS_P1", "20480000"))
 PARTITIONS = 64
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
+CONTROL_DRIFT_TOL = float(os.environ.get("SCALING_DRIFT_TOL", "0.08"))
+OUT_PATH = os.environ.get("SCALING_OUT", "/root/repo/BENCH_SCALING.json")
 
 WORKER = r"""
 import json, sys, time
@@ -98,21 +107,44 @@ def run_spark(cpus: int, rows: int) -> dict:
     return json.loads(lines[-1])
 
 
+def leg(workers: int, rows: int) -> dict:
+    """One library leg sandwiched between contemporaneous controls."""
+    c_pre = cpu_control(workers)
+    lib = run_spark(workers, rows)
+    c_post = cpu_control(workers)
+    drift = abs(c_pre - c_post) / max(c_pre, c_post)
+    return {
+        "lib": lib,
+        "control_pre": round(c_pre, 1),
+        "control_post": round(c_post, 1),
+        "control_drift": round(drift, 4),
+        "window_shift": drift > CONTROL_DRIFT_TOL,
+    }
+
+
 def pair(lo_n: int, hi_n: int, rows: int = ROWS) -> dict:
-    lo, hi = run_spark(lo_n, rows), run_spark(hi_n, rows)
-    ctl_lo, ctl_hi = cpu_control(lo_n), cpu_control(hi_n)
-    lib_speedup = hi["files_per_sec"] / lo["files_per_sec"]
-    hw_speedup = ctl_hi / ctl_lo
+    lo, hi = leg(lo_n, rows), leg(hi_n, rows)
     ratio = hi_n / lo_n
+    lib_speedup = hi["lib"]["files_per_sec"] / lo["lib"]["files_per_sec"]
+    hw_pre = hi["control_pre"] / lo["control_pre"]
+    hw_post = hi["control_post"] / lo["control_post"]
+    hw_speedup = float(np.sqrt(hw_pre * hw_post))
     out = {
         "pair": f"local[{lo_n}] -> local[{hi_n}]",
         "low": lo,
         "high": hi,
         "library_speedup": round(lib_speedup, 3),
         "scaling_efficiency": round(lib_speedup / ratio, 3),
+        "control_efficiency_pre": round(hw_pre / ratio, 3),
+        "control_efficiency_post": round(hw_post / ratio, 3),
         "hardware_control_speedup": round(hw_speedup, 3),
-        "hardware_control_efficiency": round(hw_speedup / ratio, 3),
         "normalized_efficiency": round(lib_speedup / hw_speedup, 3),
+        "window_clean": (
+            hw_pre / ratio >= 0.95
+            and hw_post / ratio >= 0.95
+            and not lo["window_shift"]
+            and not hi["window_shift"]
+        ),
     }
     if hw_speedup < 1.0:
         # the pure-CPU control got SLOWER with more workers: the
@@ -123,20 +155,37 @@ def pair(lo_n: int, hi_n: int, rows: int = ROWS) -> dict:
     return out
 
 
+def _write(result: dict) -> None:
+    with open(OUT_PATH, "w") as f:
+        json.dump(result, f, indent=2)
+
+
 def main() -> None:
+    only_criterion = "--criterion-only" in sys.argv
     result = {
         "workload": "HLL sketch build + tree merge (incl. JVM content hashing), grouped by (repo, lang)",
         "rows": ROWS,
-        "pairs": [pair(1, 4, rows=ROWS_P1), pair(2, 8, rows=ROWS), pair(8, 32, rows=ROWS)],
+        "pairs": [],
         "note": (
             "32-vCPU Firecracker sandbox saturates ~16 workers on the pure-CPU "
-            "control; normalized_efficiency reports the library's scaling "
-            "relative to that platform ceiling (1.0 = no added penalty)."
+            "control and its delivered compute drifts between host windows; "
+            "every library leg is sandwiched between two contemporaneous "
+            "pure-CPU controls.  window_clean = both phases' control "
+            "efficiency >= 0.95 and no per-leg drift beyond "
+            f"{CONTROL_DRIFT_TOL:.0%}.  normalized_efficiency reports the "
+            "library's scaling relative to the platform ceiling (1.0 = no "
+            "added penalty)."
         ),
     }
-    with open("/root/repo/BENCH_SCALING.json", "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result, indent=2))
+    # criterion pair FIRST and banked immediately
+    result["pairs"].append(pair(1, 4, rows=ROWS_P1))
+    _write(result)
+    print(json.dumps(result["pairs"][-1], indent=2))
+    if not only_criterion:
+        for lo_n, hi_n in ((2, 8), (8, 32)):
+            result["pairs"].append(pair(lo_n, hi_n))
+            _write(result)
+            print(json.dumps(result["pairs"][-1], indent=2))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
@@ -52,7 +53,14 @@ from .sampling.scramble import (
     load_scramble,
     write_scramble,
 )
-from .sqlparse import ParsedSelect, Unsupported, parse_select
+from .sqlparse import (
+    ParsedSelect,
+    Unsupported,
+    _clauses,
+    _mask,
+    inline_ctes,
+    parse_select,
+)
 
 # ---- scramble DDL statements (reference grammar VerdictSQLParser.g4:
 # 69-102: create/insert/drop/drop-all/show scramble statements) -------
@@ -83,6 +91,28 @@ _SET_RE = re.compile(
     r"^\s*SET\s+([\w\.]+)\s*=\s*'?([^';]+?)'?\s*;?\s*$", re.IGNORECASE
 )
 _GET_RE = re.compile(r"^\s*GET\s+([\w\.]+)\s*;?\s*$", re.IGNORECASE)
+
+
+def _from_subquery_spans(text: str) -> list[tuple[int, int, str]]:
+    """Top-level ``(SELECT ...)`` groups in a FROM-clause text:
+    ``[(open_idx, close_idx, inner_text), ...]``.  Depth is tracked on
+    the literal-masked text so a ')' inside a string never closes a
+    group; non-SELECT paren groups (join grouping) are skipped."""
+    masked = _mask(text, keep_depth0_only=False)
+    spans: list[tuple[int, int, str]] = []
+    depth, start = 0, -1
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                inner = text[start + 1 : i]
+                if re.match(r"^\s*select\b", inner, re.IGNORECASE):
+                    spans.append((start, i, inner.strip()))
+    return spans
 
 
 def _parse_create_options(rest: str) -> dict:
@@ -172,7 +202,8 @@ class _Plan:
         call when the progressive run is done (or abandoned), else the
         Spark cache grows by one entry per planned query."""
         for _, _, inner_df, _ in self.where_subqs:
-            inner_df.unpersist()
+            if inner_df is not None:  # scalar kinds persist nothing
+                inner_df.unpersist()
 
 
 class VerdictContext:
@@ -385,15 +416,34 @@ class VerdictContext:
         ddl = self._ddl(query)
         if ddl is not None:
             return ddl
+        cte = inline_ctes(query)
+        if cte is not None:
+            # single-use CTEs inlined as derived tables so scrambles
+            # inside WITH bodies substitute; a refused inline keeps the
+            # original text (exact spark.sql handles WITH natively)
+            query = cte
         try:
             plan = self._plan(query)
         except Unsupported:
+            # before the exact fallback, try the nested-aggregation
+            # path: the whole statement may be outside the rewritable
+            # shape while a FROM derived table inside it is itself a
+            # rewritable aggregate over a scramble
+            nested = self._try_nested(query, early_stop=early_stop)
+            if nested is not None:
+                return nested
+            union = self._try_union(query, early_stop=early_stop)
+            if union is not None:
+                return union
             # SET verdictdb.debug = true surfaces WHY a SELECT fell
             # back — shape rejections are the dominant fallback class
             if self._debug() and re.match(r"^\s*select\b", query, re.IGNORECASE):
                 raise
             plan = None
         if plan is None:
+            nested = self._try_nested(query, early_stop=early_stop)
+            if nested is not None:
+                return nested
             return self.spark.sql(query)
         if plan.const_false:
             # WHERE proven constant-false at plan time: the exact run
@@ -417,6 +467,153 @@ class VerdictContext:
 
     def _debug(self) -> bool:
         return self.conf.get("verdictdb.debug", "false").lower() in ("true", "1")
+
+    # --------------------------------------------- set operations
+    def _try_union(self, query: str, early_stop: bool) -> DataFrame | None:
+        """UNION ALL of independently-planned SELECT blocks (the
+        reference's SetOperationRelation.java:1-60): each side plans
+        and executes on its own — approximate where a scramble
+        applies, exact otherwise — and the result frames concatenate
+        positionally.  UNION ALL is bag concatenation, so per-side
+        estimates compose without interaction; UNION DISTINCT /
+        EXCEPT / INTERSECT are NOT taken (dedup across approximate
+        estimates is ill-defined) and neither is a trailing ORDER
+        BY/LIMIT (it scopes to the whole union) — those fall back to
+        exact.  Mixed numeric column types across sides (approximate
+        sides estimate in double, exact sides keep bigint) widen to
+        double, matching SQL union type promotion."""
+        try:
+            masked0 = _mask(query)
+        except Unsupported:
+            return None
+        if re.search(r"\b(EXCEPT|INTERSECT)\b", masked0, re.IGNORECASE):
+            return None
+        seps = list(re.finditer(r"\bUNION(\s+ALL)?\b", masked0, re.IGNORECASE))
+        if not seps or any(m.group(1) is None for m in seps):
+            return None  # a plain UNION breaks left-assoc flattening
+        parts, last = [], 0
+        for m in seps:
+            parts.append(query[last : m.start()].strip())
+            last = m.end()
+        parts.append(query[last:].strip())
+        if any(not re.match(r"^\s*select\b", p, re.IGNORECASE) for p in parts):
+            return None  # parenthesized blocks etc.
+        if re.search(r"\b(ORDER\s+BY|LIMIT)\b", _mask(parts[-1]), re.IGNORECASE):
+            return None  # scopes to the union, not the last side
+        frames = [self.sql(p, early_stop=early_stop) for p in parts]
+        base = frames[0]
+        ncols = len(base.columns)
+        if any(len(f.columns) != ncols for f in frames):
+            return None
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+        }
+        casts: list[str | None] = []
+        for i in range(ncols):
+            ts = {f.dtypes[i][1] for f in frames}
+            if len(ts) == 1:
+                casts.append(None)
+            elif all(t.split("(")[0] in numeric for t in ts):
+                casts.append("double")
+            else:
+                return None
+        aligned = []
+        for f in frames:
+            aligned.append(
+                f.select(
+                    *[
+                        (
+                            F.col(c).cast(casts[i]) if casts[i] else F.col(c)
+                        ).alias(base.columns[i])
+                        for i, c in enumerate(f.columns)
+                    ]
+                )
+            )
+        out = aligned[0]
+        for f in aligned[1:]:
+            out = out.union(f)
+        return out
+
+    # ----------------------------------------- nested aggregation
+    def _try_nested(self, query: str, early_stop: bool) -> DataFrame | None:
+        """Aggregations over aggregations, any depth.
+
+        The reference claims speedups for "deeper, complex queries
+        (such as aggregations over aggregations)"
+        (``docs/docs/documentation/supported_queries.md:17-21``) via
+        dependent plan nodes built at arbitrary depth
+        (``core/querying/QueryExecutionPlanFactory.java:242-345``).
+        Spark-first re-expression: find FROM-clause derived tables
+        whose body is itself a rewritable aggregate over a registered
+        scramble, run each through the progressive engine, and hand
+        the OUTER statement to Catalyst verbatim with each derived
+        table replaced by a temp view over the inner's estimate frame.
+        The outer runs EXACTLY over frames of already-aggregated size
+        (exact outer over approximate inner), at the full Spark SQL
+        surface — window functions, DISTINCT, expressions the front
+        door itself would reject are all fine in the outer.  Recurses
+        so the innermost rewritable block of a depth-3+ query is still
+        substituted.  Nested results carry no ``_err`` columns: the
+        outer aggregate over estimated inputs has no closed-form
+        error here (the reference's dependent nodes likewise surface
+        only the final point estimate).  Returns None when nothing is
+        substitutable — the caller falls back to exact."""
+        if not re.match(r"^\s*select\b", query, re.IGNORECASE):
+            return None
+        try:
+            cl = _clauses(query)
+        except Unsupported:
+            return None
+        from_text = cl.get("FROM")
+        if not from_text:
+            return None
+        try:
+            spans = _from_subquery_spans(from_text)
+        except Unsupported:
+            return None  # unbalanced text — let exact SQL error it
+        if not spans:
+            return None
+        views: list[str] = []
+        pieces: list[str] = []
+        last = 0
+        try:
+            for s, e, inner in spans:
+                df = None
+                try:
+                    inner_plan = self._plan(inner)
+                except (Unsupported, AnalysisException):
+                    inner_plan = None
+                if inner_plan is not None and not inner_plan.const_false:
+                    df = self._execute(
+                        inner_plan, early_stop=early_stop, with_errors=False
+                    )
+                elif inner_plan is None:
+                    # depth-3+: the derived table's own FROM may hold
+                    # the rewritable block
+                    df = self._try_nested(inner, early_stop=early_stop)
+                if df is None:
+                    continue
+                name = f"_vdb_nested_{uuid.uuid4().hex[:12]}"
+                df.createOrReplaceTempView(name)
+                views.append(name)
+                pieces.append(from_text[last:s])
+                pieces.append(name)
+                last = e + 1
+            if not views:
+                return None
+            new_from = "".join(pieces) + from_text[last:]
+            parts = ["SELECT " + cl["SELECT"], "FROM " + new_from]
+            for kw in ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
+                if kw in cl:
+                    parts.append(kw + " " + cl[kw])
+            # spark.sql analyzes eagerly, so the returned frame holds
+            # the resolved plan and the views can be dropped right away
+            return self.spark.sql(" ".join(parts))
+        except AnalysisException:
+            return None  # outer shape Catalyst rejects — exact fallback
+        finally:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
 
     # ------------------------------------------------------------- DDL
     def _ddl(self, query: str) -> DataFrame | None:
@@ -814,7 +1011,28 @@ class VerdictContext:
                     raise Unsupported(
                         f"unresolvable (or correlated) WHERE subquery #{k}"
                     )
-                if wq.kind in ("in", "not_in"):
+                if wq.kind == "scalar":
+                    # expr COMP (SELECT ...): the inner is exact by
+                    # contract (supported_queries.md:278-279 — it runs
+                    # on the ORIGINAL tables) and must be 1x1; its
+                    # value becomes a constant filter in the transform
+                    if len(inner_df.columns) != 1:
+                        raise Unsupported(
+                            "scalar subquery must produce exactly one column"
+                        )
+                    rows = inner_df.limit(2).collect()
+                    if len(rows) > 1:
+                        raise Unsupported(
+                            "scalar subquery returned more than one row"
+                        )
+                    value = rows[0][0] if rows else None
+                    if value is None:
+                        # comparison with NULL is never TRUE: WHERE is
+                        # constant-false (matches exact SQL semantics)
+                        const_false = True
+                        break
+                    where_subqs.append(("scalar", wq.lhs, None, (wq.comp, value)))
+                elif wq.kind in ("in", "not_in"):
                     if len(inner_df.columns) != 1:
                         raise Unsupported(
                             "IN subquery must produce exactly one column"
@@ -858,7 +1076,8 @@ class VerdictContext:
                     # statically true: no filter needed at all
         except BaseException:
             for _, _, df_, _ in where_subqs:
-                df_.unpersist()
+                if df_ is not None:
+                    df_.unpersist()
             raise
         if const_false:
             # a LATER subquery proved the WHERE constant-false: the
@@ -867,7 +1086,8 @@ class VerdictContext:
             # plan.release() is never reached) — drop them NOW or they
             # stay in the Spark cache for the context's lifetime
             for _, _, df_, _ in where_subqs:
-                df_.unpersist()
+                if df_ is not None:
+                    df_.unpersist()
             where_subqs = []
 
         return _Plan(
@@ -906,6 +1126,9 @@ class VerdictContext:
         q = _STREAM_RE.match(query)
         if q:
             query = q.group(1)
+        cte = inline_ctes(query)
+        if cte is not None:
+            query = cte
         plan = self._plan(query)
         if plan is None:
             raise Unsupported("no registered scramble for STREAM query")
@@ -1033,7 +1256,21 @@ class VerdictContext:
                 # WHERE-subquery conjuncts as join filters (AQE picks
                 # broadcast vs shuffle by the inner's actual size);
                 # constant-outcome cases were resolved at plan time
-                if kind == "in":
+                if kind == "scalar":
+                    comp, value = key
+                    col, lit = F.expr(lhs), F.lit(value)
+                    batch = batch.where(
+                        {
+                            "=": col == lit,
+                            "<>": col != lit,
+                            "!=": col != lit,
+                            "<": col < lit,
+                            "<=": col <= lit,
+                            ">": col > lit,
+                            ">=": col >= lit,
+                        }[comp]
+                    )
+                elif kind == "in":
                     batch = batch.join(
                         inner_df, F.expr(lhs) == F.col(key), "left_semi"
                     )
@@ -1085,6 +1322,31 @@ class VerdictContext:
             # composite aggregate select items (sum(a)/sum(b) AS r):
             # evaluate the residual over the estimate columns
             out = out.withColumn(name, F.expr(expr))
+            if with_errors:
+                # first-order, covariance-free error bound for the
+                # composite: sum over each referenced partial p_i of
+                # |f(.., p_i + e_i, ..) - f(..)| — exact for linear
+                # residuals, an upper-bound-style estimate for ratios
+                # (no cross-partial covariance is subtracted; the
+                # reference surfaces no error at all for rebuilt
+                # expressions, AsyncAggExecutionNode:565-639)
+                terms = []
+                for a in plan.aggs:
+                    if (
+                        re.search(rf"\b{re.escape(a.alias)}\b", expr)
+                        and f"{a.alias}_err" in out.columns
+                    ):
+                        shifted = re.sub(
+                            rf"\b{re.escape(a.alias)}\b",
+                            f"({a.alias} + {a.alias}_err)",
+                            expr,
+                        )
+                        terms.append(F.abs(F.expr(shifted) - F.col(name)))
+                if terms:
+                    err_col = terms[0]
+                    for t in terms[1:]:
+                        err_col = err_col + t
+                    out = out.withColumn(f"{name}_err", err_col)
         if p.having is not None:
             out = out.where(F.expr(p.having))
         if p.order_by:
@@ -1100,6 +1362,10 @@ class VerdictContext:
                 err = f"{a.alias}_err"
                 if a.alias in cols and err in out.columns:
                     cols.insert(cols.index(a.alias) + 1, err)
+            for name, _ in p.composites:
+                err = f"{name}_err"
+                if name in cols and err in out.columns:
+                    cols.insert(cols.index(name) + 1, err)
         out = out.select(*cols)
         if p.limit is not None:
             out = out.limit(p.limit)

@@ -1123,6 +1123,193 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def sql_nested_front_door(spark, sf_dir):
+    """Aggregation over aggregation through the front door: the inner
+    per-order rollup (~15k groups at sf0.01 — forces the Spark
+    estimate engine, so the outer provably consumes the DISTRIBUTED
+    estimate frame) runs progressively; the outer distribution query
+    runs EXACTLY over it via Catalyst (the reference's
+    aggregations-over-aggregations class, supported_queries.md:17-21,
+    dependent nodes QueryExecutionPlanFactory.java:242-345).
+    Estimates are doubles, so the outer rounds them back to exact
+    integers for cross-engine determinism.  Full coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    ctx.sql("SET verdictdb.engine = spark")
+    try:
+        out = ctx.sql(
+            """SELECT CAST(round(n) AS BIGINT) AS n_lines,
+                      count(*) AS n_orders,
+                      sum(CAST(round(qty) AS BIGINT)) AS sum_qty
+               FROM (SELECT l_orderkey, sum(l_quantity) AS qty,
+                            count(*) AS n
+                     FROM lineitem GROUP BY l_orderkey) t
+               GROUP BY CAST(round(n) AS BIGINT)
+               ORDER BY n_lines""",
+            early_stop=False,
+        )
+    finally:
+        ctx.sql("SET verdictdb.engine = auto")
+    return out.orderBy("n_lines")
+
+
+SQL_NESTED_SQL = """
+SELECT n AS n_lines, count(*) AS n_orders,
+       CAST(sum(CAST(round(qty) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS qty, count(*) AS n
+      FROM lineitem GROUP BY l_orderkey) t
+GROUP BY n ORDER BY n_lines
+"""
+
+
+def sql_scalarsub_front_door(spark, sf_dir):
+    """Scalar comparison subquery ``WHERE x > (SELECT avg(...))``
+    (supported_queries.md:278-279 "expr COMP (subquery)"): the 1x1
+    inner runs EXACTLY on the ORIGINAL table at plan time and the
+    comparison becomes a constant filter inside the progressive
+    transform.  l_quantity is integral and the average fractional, so
+    a last-ulp cross-engine difference in the average cannot flip any
+    row across the boundary.  Full coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    li.createOrReplaceTempView("lineitem")
+    out = ctx.sql(
+        """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+           FROM lineitem
+           WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        early_stop=False,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("cnt").cast("long").alias("cnt"),
+        F.round("sum_qty").cast("long").alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+SQL_SCALARSUB_SQL = """
+SELECT l_returnflag, count(*) AS cnt,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def sql_rightjoin_front_door(spark, sf_dir):
+    """RIGHT JOIN mirror of the LEFT path (reference IR JoinType,
+    core/sqlobject/JoinTable.java): ``dim RIGHT JOIN scramble`` maps
+    to ``scramble LEFT JOIN dim`` at parse time — the preserved side
+    carries the scramble, the null-producing left is an unscrambled
+    dimension.  ``count(o_orderkey) < count(*)`` proves rows really
+    null-extend.  Full coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 150000
+    ).createOrReplaceTempView("orders_hot")
+    out = ctx.sql(
+        """SELECT l_returnflag,
+                  count(*) AS n_rows,
+                  count(o_orderkey) AS n_matched,
+                  sum(l_quantity) AS sum_qty
+           FROM orders_hot RIGHT JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        early_stop=False,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("n_rows").cast("long").alias("n_rows"),
+        F.round("n_matched").cast("long").alias("n_matched"),
+        F.round("sum_qty").cast("long").alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+SQL_RIGHTJOIN_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(o_orderkey) AS n_matched,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM (SELECT * FROM orders WHERE o_totalprice > 150000) orders_hot
+  RIGHT JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def sql_cte_front_door(spark, sf_dir):
+    """Single-use CTE over the scrambled table
+    (VerdictSQLParser.g4:355-358): ``WITH`` bodies inline as derived
+    tables at the front door, so the CTE's aggregate runs
+    progressively and the outer SELECT consumes the estimate frame
+    via the nested-aggregation path.  Full coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    out = ctx.sql(
+        """WITH flag_totals AS (
+               SELECT l_returnflag, sum(l_quantity) AS qty, count(*) AS n
+               FROM lineitem WHERE l_quantity > 5 GROUP BY l_returnflag)
+           SELECT count(*) AS n_flags,
+                  sum(CAST(round(qty) AS BIGINT)) AS total_qty,
+                  max(CAST(round(n) AS BIGINT)) AS max_n
+           FROM flag_totals""",
+        early_stop=False,
+    )
+    return out
+
+
+SQL_CTE_SQL = """
+WITH flag_totals AS (
+    SELECT l_returnflag, sum(l_quantity) AS qty, count(*) AS n
+    FROM lineitem WHERE l_quantity > 5 GROUP BY l_returnflag)
+SELECT count(*) AS n_flags,
+       CAST(sum(CAST(round(qty) AS BIGINT)) AS BIGINT) AS total_qty,
+       max(n) AS max_n
+FROM flag_totals
+"""
+
+
+def sql_unionall_front_door(spark, sf_dir):
+    """UNION ALL of an approximate block over the scramble and an
+    exact block over an unscrambled table
+    (SetOperationRelation.java:1-60): each side plans independently
+    and the frames concatenate positionally, numeric columns widened
+    to double (the approximate side estimates in double).  Full
+    coverage == exact."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = ctx.sql(
+        """SELECT l_returnflag AS k, count(*) AS cnt FROM lineitem
+           GROUP BY l_returnflag
+           UNION ALL
+           SELECT o_orderstatus AS k, count(*) AS cnt FROM orders
+           GROUP BY o_orderstatus""",
+        early_stop=False,
+    )
+    return out.select(
+        "k", F.round("cnt").cast("long").alias("cnt")
+    ).orderBy("k", "cnt")
+
+
+SQL_UNIONALL_SQL = """
+SELECT k, cnt FROM (
+  SELECT l_returnflag AS k, count(*) AS cnt FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT o_orderstatus AS k, count(*) AS cnt FROM orders GROUP BY o_orderstatus
+) ORDER BY k, cnt
+"""
+
+
 # ===================================================== training-data ops
 def dedup_exact_documents(spark, sf_dir):
     """Exact dedup over a constructed duplicate-bearing input."""
@@ -1478,6 +1665,11 @@ def queries() -> dict[str, Query]:
         "sql_leftjoin_front_door": sql_leftjoin_front_door,
         "sql_subquery_front_door": sql_subquery_front_door,
         "sql_where_in_front_door": sql_where_in_front_door,
+        "sql_nested_front_door": sql_nested_front_door,
+        "sql_scalarsub_front_door": sql_scalarsub_front_door,
+        "sql_rightjoin_front_door": sql_rightjoin_front_door,
+        "sql_cte_front_door": sql_cte_front_door,
+        "sql_unionall_front_door": sql_unionall_front_door,
         "approx_early_stop": approx_early_stop,
         "bloom_semi_join_count": bloom_semi_join_count,
         "dedup_exact_documents": dedup_exact_documents,
@@ -1524,6 +1716,11 @@ def oracle_sql() -> dict[str, str]:
         "sql_leftjoin_front_door": SQL_LEFTJOIN_SQL,
         "sql_subquery_front_door": SQL_SUBQUERY_SQL,
         "sql_where_in_front_door": SQL_WHEREIN_SQL,
+        "sql_nested_front_door": SQL_NESTED_SQL,
+        "sql_scalarsub_front_door": SQL_SCALARSUB_SQL,
+        "sql_rightjoin_front_door": SQL_RIGHTJOIN_SQL,
+        "sql_cte_front_door": SQL_CTE_SQL,
+        "sql_unionall_front_door": SQL_UNIONALL_SQL,
         "bloom_semi_join_count": BLOOM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "simhash_pairs_documents": SIMHASH_SQL,

@@ -126,14 +126,18 @@ class OrderItem:
 @dataclass
 class WhereSubquery:
     """One extractable WHERE-subquery conjunct: ``lhs [NOT] IN
-    (SELECT ...)`` or ``[NOT] EXISTS (SELECT ...)`` — rewritten to a
-    semi/anti join against the exactly-computed inner (the reference
-    lifts these into dependent plan nodes,
+    (SELECT ...)``, ``[NOT] EXISTS (SELECT ...)``, or ``lhs COMP
+    (SELECT ...)`` (scalar comparison, supported_queries.md:278-279) —
+    the first two rewrite to semi/anti joins against the
+    exactly-computed inner, the scalar kind executes its 1x1 inner
+    exactly at plan time and the comparison becomes a constant filter
+    (the reference lifts all of these into dependent plan nodes,
     QueryExecutionPlanFactory.java:242-345)."""
 
-    kind: str  # in | not_in | exists | not_exists
+    kind: str  # in | not_in | exists | not_exists | scalar
     lhs: str | None  # probe expression text (None for EXISTS)
     inner: str  # inner SELECT text
+    comp: str | None = None  # comparison operator for kind == "scalar"
 
 
 @dataclass
@@ -317,6 +321,13 @@ def _parse_from(text: str) -> tuple[list[TableRef], list[JoinClause]]:
             # null-extension (the planner enforces that the attached
             # table is an unscrambled dimension)
             how = "left"
+        elif kw == "RIGHT":
+            # RIGHT JOIN mirrors to the LEFT machinery below (the
+            # reference IR carries rightouter, core/sqlobject/
+            # JoinTable.java JoinType): `A RIGHT JOIN B` == `B LEFT
+            # JOIN A`, so the preserved (right) table must carry the
+            # scramble and the null-producing left an unscrambled dim
+            how = "right"
         else:
             raise Unsupported(f"{kw} JOIN is not rewritable")
         seg_end = hits[i + 1].start() if i + 1 < len(hits) else len(text)
@@ -329,6 +340,14 @@ def _parse_from(text: str) -> tuple[list[TableRef], list[JoinClause]]:
         pairs = _parse_on_pairs(seg[on.end() :])
         tables.append(tref)
         joins.append(JoinClause(table=tref, pairs=pairs, how=how))
+    if any(j.how == "right" for j in joins):
+        # mirror `A RIGHT JOIN B ON p` to `B LEFT JOIN A ON p` so the
+        # planner sees the one outer shape it knows; outer joins don't
+        # commute with reordering, so only the two-table form maps
+        if len(joins) != 1 or len(tables) != 2:
+            raise Unsupported("RIGHT JOIN only maps in a two-table FROM")
+        tables = [tables[1], tables[0]]
+        joins = [JoinClause(table=tables[1], pairs=joins[0].pairs, how="left")]
     return tables, joins
 
 
@@ -493,16 +512,42 @@ def _extract_where_subqs(
         if op < 0:
             raise Unsupported(f"unbalanced WHERE conjunct {c.strip()[:60]!r}")
         # what precedes the parens must be `[lhs] [NOT] IN|EXISTS`
+        # or a scalar comparison `lhs COMP`
         m = re.search(
             r"(?:^|[\s)])(?P<not>NOT\s+)?(?P<kw>IN|EXISTS)\s*$",
             masked[:op],
             re.IGNORECASE,
         )
-        if m is None:
-            raise Unsupported(f"non-rewritable subquery conjunct {c.strip()[:60]!r}")
         inner = c[op + 1 : close].strip()
         if not re.match(r"^\s*select\b", inner, re.IGNORECASE):
             raise Unsupported("non-SELECT parenthesized WHERE term")
+        if m is None:
+            # scalar comparison subquery (supported_queries.md:278-279
+            # "expr COMP (subquery)"): the inner runs exactly at plan
+            # time on the ORIGINAL tables and splices in as a constant
+            cm = re.search(r"(?P<comp><=|>=|<>|!=|=|<|>)\s*$", masked[:op])
+            if cm is None:
+                raise Unsupported(
+                    f"non-rewritable subquery conjunct {c.strip()[:60]!r}"
+                )
+            lhs_raw = c[: cm.start()].strip()
+            if not lhs_raw or re.search(
+                r"\b(NOT|BETWEEN|IN|LIKE|IS)\b|[<>=!]",
+                _mask(lhs_raw, keep_depth0_only=False),
+                re.IGNORECASE,
+            ):
+                raise Unsupported(
+                    f"non-rewritable scalar-subquery probe {lhs_raw[:60]!r}"
+                )
+            subqs.append(
+                WhereSubquery(
+                    kind="scalar",
+                    lhs=strip_qualifiers(lhs_raw, aliases),
+                    inner=inner,
+                    comp=cm.group("comp"),
+                )
+            )
+            continue
         lhs_end = m.start("not") if m.group("not") else m.start("kw")
         lhs_raw = c[:lhs_end].strip()  # sliced from the ORIGINAL text
         if m.group("kw").upper() == "EXISTS":
@@ -521,6 +566,90 @@ def _extract_where_subqs(
             lhs = strip_qualifiers(lhs_raw, aliases)
         subqs.append(WhereSubquery(kind=kind, lhs=lhs, inner=inner))
     return (" AND ".join(keep) if keep else None), subqs
+
+
+# ----------------------------------------------------------------- CTEs
+_TABLE_POS_KEYWORDS = frozenset(
+    "JOIN INNER LEFT RIGHT FULL CROSS ON WHERE GROUP HAVING ORDER LIMIT "
+    "UNION EXCEPT INTERSECT AND OR SELECT".split()
+)
+
+
+def inline_ctes(query: str) -> str | None:
+    """``WITH a AS (SELECT ...), b AS (...) SELECT ...`` -> the main
+    SELECT with each SINGLE-USE CTE inlined as a FROM derived table
+    (the reference grammar parses CTEs, VerdictSQLParser.g4:355-358;
+    here inlining lets the existing derived-table / nested-aggregation
+    machinery substitute scrambles inside CTE bodies).  Returns None
+    when the statement has no WITH prefix or any CTE resists inlining
+    (multi-use, column list, RECURSIVE, non-FROM reference) — callers
+    keep the ORIGINAL text and exact ``spark.sql`` handles WITH
+    natively, so a refused inline can never corrupt the query."""
+    if not re.match(r"^\s*WITH\s+", query, re.IGNORECASE) or re.match(
+        r"^\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE
+    ):
+        return None
+    try:
+        masked = _mask(query, keep_depth0_only=False)
+    except Unsupported:
+        return None
+    pos = re.match(r"^\s*WITH\s+", query, re.IGNORECASE).end()
+    ctes: list[str] = []
+    names: list[str] = []
+    while True:
+        mname = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", masked[pos:], re.IGNORECASE)
+        if not mname:
+            return None  # column-list form or shapes we don't carry
+        names.append(query[pos + mname.start(1) : pos + mname.end(1)])
+        open_i = pos + mname.end() - 1
+        depth, close = 0, -1
+        for i in range(open_i, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close < 0:
+            return None
+        ctes.append(query[open_i + 1 : close].strip())
+        after_comma = re.match(r"\s*,", masked[close + 1 :])
+        pos = close + 1 + (after_comma.end() if after_comma else 0)
+        if not after_comma:
+            break
+    main = query[pos:].strip()
+    if not re.match(r"^\s*select\b", main, re.IGNORECASE):
+        return None
+    # inline back-to-front so a CTE referencing an EARLIER one sees the
+    # earlier body spliced in afterwards; single FROM/JOIN-positioned
+    # use only (a name that appears anywhere else refuses, never mangles)
+    texts = ctes + [main]
+    dead: set[int] = set()  # CTE slots already spliced into their user
+    for idx in range(len(ctes) - 1, -1, -1):
+        name = names[idx]
+        refs: list[tuple[int, int, int]] = []
+        for j in range(idx + 1, len(texts)):
+            if j in dead:
+                continue
+            tm = _mask(texts[j], keep_depth0_only=False)
+            for mm in re.finditer(rf"\b{re.escape(name)}\b", tm, re.IGNORECASE):
+                refs.append((j, mm.start(), mm.end()))
+        if len(refs) != 1:
+            return None
+        j, s, e = refs[0]
+        target = texts[j]
+        tm = _mask(target, keep_depth0_only=False)
+        if not re.search(r"\b(FROM|JOIN)\s*$", tm[:s], re.IGNORECASE):
+            return None  # not a table position (column ref, qualifier)
+        malias = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", tm[e:])
+        aliased = malias is not None and malias.group(1).upper() not in (
+            _TABLE_POS_KEYWORDS
+        )
+        repl = f"({texts[idx]})" + ("" if aliased else f" {name}")
+        texts[j] = target[:s] + repl + target[e:]
+        dead.add(idx)
+    return texts[-1]
 
 
 # --------------------------------------------------------------- parse
