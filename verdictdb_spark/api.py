@@ -58,6 +58,7 @@ from .sqlparse import (
     Unsupported,
     _clauses,
     _mask,
+    from_subquery_spans,
     inline_ctes,
     parse_select,
 )
@@ -91,28 +92,6 @@ _SET_RE = re.compile(
     r"^\s*SET\s+([\w\.]+)\s*=\s*'?([^';]+?)'?\s*;?\s*$", re.IGNORECASE
 )
 _GET_RE = re.compile(r"^\s*GET\s+([\w\.]+)\s*;?\s*$", re.IGNORECASE)
-
-
-def _from_subquery_spans(text: str) -> list[tuple[int, int, str]]:
-    """Top-level ``(SELECT ...)`` groups in a FROM-clause text:
-    ``[(open_idx, close_idx, inner_text), ...]``.  Depth is tracked on
-    the literal-masked text so a ')' inside a string never closes a
-    group; non-SELECT paren groups (join grouping) are skipped."""
-    masked = _mask(text, keep_depth0_only=False)
-    spans: list[tuple[int, int, str]] = []
-    depth, start = 0, -1
-    for i, ch in enumerate(masked):
-        if ch == "(":
-            if depth == 0:
-                start = i
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                inner = text[start + 1 : i]
-                if re.match(r"^\s*select\b", inner, re.IGNORECASE):
-                    spans.append((start, i, inner.strip()))
-    return spans
 
 
 def _parse_create_options(rest: str) -> dict:
@@ -432,14 +411,19 @@ class VerdictContext:
             nested = self._try_nested(query, early_stop=early_stop)
             if nested is not None:
                 return nested
-            union = self._try_union(query, early_stop=early_stop)
+            union = self._try_union(
+                query, early_stop=early_stop, with_errors=with_errors
+            )
             if union is not None:
                 return union
             # SET verdictdb.debug = true surfaces WHY a SELECT fell
             # back — shape rejections are the dominant fallback class
             if self._debug() and re.match(r"^\s*select\b", query, re.IGNORECASE):
                 raise
-            plan = None
+            # return here — falling through to the `plan is None`
+            # branch would run _try_nested a SECOND time (a full
+            # progressive scan repeated for nothing)
+            return self.spark.sql(query)
         if plan is None:
             nested = self._try_nested(query, early_stop=early_stop)
             if nested is not None:
@@ -469,7 +453,9 @@ class VerdictContext:
         return self.conf.get("verdictdb.debug", "false").lower() in ("true", "1")
 
     # --------------------------------------------- set operations
-    def _try_union(self, query: str, early_stop: bool) -> DataFrame | None:
+    def _try_union(
+        self, query: str, early_stop: bool, with_errors: bool = False
+    ) -> DataFrame | None:
         """UNION ALL of independently-planned SELECT blocks (the
         reference's SetOperationRelation.java:1-60): each side plans
         and executes on its own — approximate where a scramble
@@ -498,41 +484,58 @@ class VerdictContext:
         parts.append(query[last:].strip())
         if any(not re.match(r"^\s*select\b", p, re.IGNORECASE) for p in parts):
             return None  # parenthesized blocks etc.
-        if re.search(r"\b(ORDER\s+BY|LIMIT)\b", _mask(parts[-1]), re.IGNORECASE):
-            return None  # scopes to the union, not the last side
-        frames = [self.sql(p, early_stop=early_stop) for p in parts]
-        base = frames[0]
-        ncols = len(base.columns)
-        if any(len(f.columns) != ncols for f in frames):
-            return None
-        numeric = {
-            "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
-        }
-        casts: list[str | None] = []
-        for i in range(ncols):
-            ts = {f.dtypes[i][1] for f in frames}
-            if len(ts) == 1:
-                casts.append(None)
-            elif all(t.split("(")[0] in numeric for t in ts):
-                casts.append("double")
-            else:
+        for p in parts:
+            # a last-side ORDER BY/LIMIT scopes to the whole union; on
+            # any other side it is a Spark parse error — either way the
+            # exact fallback is the honest answer (never fabricate a
+            # per-side result for SQL Spark itself would reject)
+            if re.search(r"\b(ORDER\s+BY|LIMIT)\b", _mask(p), re.IGNORECASE):
                 return None
-        aligned = []
-        for f in frames:
-            aligned.append(
-                f.select(
-                    *[
-                        (
-                            F.col(c).cast(casts[i]) if casts[i] else F.col(c)
-                        ).alias(base.columns[i])
-                        for i, c in enumerate(f.columns)
-                    ]
+        try:
+            frames = [
+                self.sql(p, early_stop=early_stop, with_errors=with_errors)
+                for p in parts
+            ]
+            base = frames[0]
+            ncols = len(base.columns)
+            if any(len(f.columns) != ncols for f in frames):
+                # e.g. with_errors added _err on an approximate side
+                # but not on an exact side — exact fallback
+                return None
+            integral = {"tinyint", "smallint", "int", "bigint"}
+            floating = {"float", "double"}
+            casts: list[str | None] = []
+            for i in range(ncols):
+                ts = {f.dtypes[i][1] for f in frames}
+                if len(ts) == 1:
+                    casts.append(None)
+                elif ts <= integral:
+                    casts.append("bigint")
+                elif ts <= integral | floating:
+                    casts.append("double")
+                else:
+                    # decimal (exact money) mixed with anything: SQL
+                    # promotion keeps decimal — casting to double here
+                    # would corrupt values past 2^53, so refuse
+                    return None
+            aligned = []
+            for f in frames:
+                aligned.append(
+                    f.select(
+                        *[
+                            (f[c].cast(casts[i]) if casts[i] else f[c]).alias(
+                                base.columns[i]
+                            )
+                            for i, c in enumerate(f.columns)
+                        ]
+                    )
                 )
-            )
-        out = aligned[0]
-        for f in aligned[1:]:
-            out = out.union(f)
-        return out
+            out = aligned[0]
+            for f in aligned[1:]:
+                out = out.union(f)
+            return out
+        except (ValueError, AnalysisException):
+            return None  # a side Spark/the engine rejects — exact fallback
 
     # ----------------------------------------- nested aggregation
     def _try_nested(self, query: str, early_stop: bool) -> DataFrame | None:
@@ -568,7 +571,7 @@ class VerdictContext:
         if not from_text:
             return None
         try:
-            spans = _from_subquery_spans(from_text)
+            spans = from_subquery_spans(from_text)
         except Unsupported:
             return None  # unbalanced text — let exact SQL error it
         if not spans:
@@ -606,14 +609,21 @@ class VerdictContext:
             for kw in ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
                 if kw in cl:
                     parts.append(kw + " " + cl[kw])
-            # spark.sql analyzes eagerly, so the returned frame holds
-            # the resolved plan and the views can be dropped right away
+            # classic spark.sql analyzes eagerly, so the returned frame
+            # holds the resolved plan and the views can be dropped
+            # right away (below); a ValueError from the engine (e.g.
+            # COUNT DISTINCT on a uniform scramble, zero-row inner) is
+            # the same pass-through signal as the front door's
             return self.spark.sql(" ".join(parts))
-        except AnalysisException:
-            return None  # outer shape Catalyst rejects — exact fallback
+        except (ValueError, AnalysisException):
+            return None  # shape the engine/Catalyst rejects — exact fallback
         finally:
-            for v in views:
-                self.spark.catalog.dropTempView(v)
+            if hasattr(self.spark, "_jsparkSession"):
+                for v in views:
+                    self.spark.catalog.dropTempView(v)
+            # Spark Connect analyzes lazily: dropping now would break
+            # the caller's later .collect() — leave the uuid-named
+            # views registered (metadata only; no data pinned)
 
     # ------------------------------------------------------------- DDL
     def _ddl(self, query: str) -> DataFrame | None:
@@ -1129,8 +1139,19 @@ class VerdictContext:
         cte = inline_ctes(query)
         if cte is not None:
             query = cte
-        plan = self._plan(query)
+        try:
+            plan = self._plan(query)
+        except Unsupported:
+            gen = self._stream_nested(query)
+            if gen is None:
+                raise
+            yield from gen
+            return
         if plan is None:
+            gen = self._stream_nested(query)
+            if gen is not None:
+                yield from gen
+                return
             raise Unsupported("no registered scramble for STREAM query")
         if plan.const_false:
             # constant-false WHERE: the stream legitimately refines
@@ -1148,6 +1169,69 @@ class VerdictContext:
                 yield res
         finally:
             plan.release()
+
+    def _stream_nested(self, query: str):
+        """Progressive iterator for a NESTED-aggregation statement: the
+        inner aggregate refines step-by-step and the exact OUTER
+        re-evaluates over each snapshot — the reference's progressive
+        display extended to its dependent-plan query class
+        (``QueryExecutionPlanFactory.java:242-345``).  Applies to a
+        single substitutable FROM subquery; returns None when the
+        shape doesn't (the caller raises its own Unsupported)."""
+        if not re.match(r"^\s*select\b", query, re.IGNORECASE):
+            return None
+        try:
+            cl = _clauses(query)
+            spans = from_subquery_spans(cl["FROM"])
+        except Unsupported:
+            return None
+        if len(spans) != 1:
+            return None
+        s, e, inner = spans[0]
+        try:
+            probe = self._plan(inner)
+        except (Unsupported, AnalysisException):
+            return None
+        if probe is None or probe.const_false:
+            if probe is not None:
+                probe.release()
+            return None
+        probe.release()  # self.stream(inner) below re-plans for itself
+        from_text = cl["FROM"]
+        name = f"_vdb_nested_{uuid.uuid4().hex[:12]}"
+        parts = [
+            "SELECT " + cl["SELECT"],
+            "FROM " + from_text[:s] + name + from_text[e + 1 :],
+        ]
+        for kw in ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
+            if kw in cl:
+                parts.append(kw + " " + cl[kw])
+        outer_sql = " ".join(parts)
+
+        def gen():
+            try:
+                for res in self.stream(inner):
+                    sdf = res.estimates_sdf
+                    if sdf is None:
+                        sdf = self.spark.createDataFrame(res.estimates)
+                    sdf.createOrReplaceTempView(name)
+                    # classic spark.sql analyzes eagerly, so each
+                    # step's frame holds its own resolved plan even
+                    # though the view is re-registered next step
+                    out_df = self.spark.sql(outer_sql)
+                    step = ProgressiveResult.__new__(ProgressiveResult)
+                    step.__dict__.update(res.__dict__)
+                    step.estimates_sdf = out_df
+                    step._pdf = None
+                    yield step
+            finally:
+                if hasattr(self.spark, "_jsparkSession"):
+                    try:
+                        self.spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass
+
+        return gen()
 
     def _apply_composites(self, res, composites, drop: list[str]):
         """Evaluate composite residuals on a progressive snapshot and

@@ -66,6 +66,43 @@ def _mask(s: str, keep_depth0_only: bool = True) -> str:
     return "".join(out)
 
 
+def _matching_paren(masked: str, open_idx: int) -> int:
+    """Index of the ``)`` closing ``masked[open_idx] == '('`` — parens
+    survive masking at EVERY depth, so a nested subquery or function
+    call cannot confuse the balance.  Returns -1 when unbalanced."""
+    depth = 0
+    for i in range(open_idx, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def from_subquery_spans(text: str) -> list[tuple[int, int, str]]:
+    """Top-level ``(SELECT ...)`` groups in a FROM-clause text:
+    ``[(open_idx, close_idx, inner_text), ...]``.  Depth is tracked on
+    the literal-masked text so a ``)`` inside a string never closes a
+    group; non-SELECT paren groups (join grouping) are skipped."""
+    masked = _mask(text, keep_depth0_only=False)
+    spans: list[tuple[int, int, str]] = []
+    i = 0
+    while i < len(masked):
+        if masked[i] == "(":
+            close = _matching_paren(masked, i)
+            if close < 0:
+                raise Unsupported("unbalanced parentheses in FROM")
+            inner = text[i + 1 : close]
+            if re.match(r"^\s*select\b", inner, re.IGNORECASE):
+                spans.append((i, close, inner.strip()))
+            i = close + 1
+        else:
+            i += 1
+    return spans
+
+
 def _split_top_level(s: str, sep_pattern: str = ",") -> list[str]:
     """Split on a top-level separator (regex) — commas by default —
     ignoring separators inside parens or strings."""
@@ -211,15 +248,7 @@ def _parse_table_ref(text: str) -> TableRef:
         # text is either row-local — planned into the per-block
         # transform — or opaque, executed exactly as a dimension)
         masked = _mask(text, keep_depth0_only=False)
-        depth, close = 0, -1
-        for i, ch in enumerate(masked):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    close = i
-                    break
+        close = _matching_paren(masked, 0)
         if close < 0:
             raise Unsupported("unbalanced derived table")
         inner = text[1:close].strip()
@@ -602,15 +631,7 @@ def inline_ctes(query: str) -> str | None:
             return None  # column-list form or shapes we don't carry
         names.append(query[pos + mname.start(1) : pos + mname.end(1)])
         open_i = pos + mname.end() - 1
-        depth, close = 0, -1
-        for i in range(open_i, len(masked)):
-            if masked[i] == "(":
-                depth += 1
-            elif masked[i] == ")":
-                depth -= 1
-                if depth == 0:
-                    close = i
-                    break
+        close = _matching_paren(masked, open_i)
         if close < 0:
             return None
         ctes.append(query[open_i + 1 : close].strip())
