@@ -114,8 +114,11 @@ def cpu_control(workers: int) -> float:
 
 
 def mem_control(workers: int) -> float:
-    """DRAM-streaming multiprocessing throughput — the bandwidth ceiling."""
-    return _pool_tp(_burn_mem, workers, 16, 8)
+    """DRAM-streaming multiprocessing throughput — the bandwidth
+    ceiling.  Units scale with workers so high-parallelism legs keep
+    the pool full (efficiency = per-unit rate ratio, so unit count
+    itself cancels)."""
+    return _pool_tp(_burn_mem, workers, max(16, 2 * workers), 8)
 
 
 def run_spark(cpus: int, rows: int) -> dict:
