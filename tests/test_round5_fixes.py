@@ -523,6 +523,62 @@ def test_union_forwards_with_errors(ctx, spark, lineitem):
     assert out.count() == 6
 
 
+def test_union_arity_mismatch_not_masked_by_err_columns(ctx, spark, lineitem, orders):
+    """A 1-column approximate side under STREAM grows an _err column;
+    that must NOT make it unionable with a genuinely 2-column side —
+    Spark rejects the arity mismatch and so must ctx.sql."""
+    q = (
+        "STREAM SELECT sum(l_quantity) AS s FROM lineitem UNION ALL "
+        "SELECT o_orderkey, o_totalprice FROM orders"
+    )
+    with pytest.raises(Exception):
+        ctx.sql(q).collect()
+
+
+def test_stream_nested_steps_carry_no_err_and_star_expands(ctx, spark, lineitem):
+    steps = list(
+        ctx.stream(
+            "SELECT * FROM (SELECT l_returnflag, sum(l_quantity) AS s "
+            "FROM lineitem GROUP BY l_returnflag) t"
+        )
+    )
+    for st in steps:
+        assert list(st.estimates.columns) == ["l_returnflag", "s"]
+    want = {
+        r["l_returnflag"]: r["s"]
+        for r in spark.sql(
+            "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+            "GROUP BY l_returnflag"
+        ).collect()
+    }
+    final = steps[-1].estimates.set_index("l_returnflag")["s"]
+    for k, v in want.items():
+        assert float(final[k]) == pytest.approx(v)
+
+
+def test_stream_nested_early_steps_keep_their_snapshot(ctx, spark, lineitem):
+    # per-step views: materializing EARLIER steps after the stream is
+    # exhausted must still work (each step's frame holds its own
+    # resolved plan; the old shared view name was re-registered every
+    # iteration and would alias all steps under lazy analysis)
+    steps = list(
+        ctx.stream(
+            "SELECT sum(s) AS total FROM (SELECT l_returnflag, "
+            "sum(l_quantity) AS s FROM lineitem GROUP BY l_returnflag) t"
+        )
+    )
+    assert len(steps) > 1
+    first = float(steps[0].estimates["total"].iloc[0])  # post-exhaustion
+    last = float(steps[-1].estimates["total"].iloc[0])
+    exact = spark.sql(
+        "SELECT sum(s) AS total FROM (SELECT l_returnflag, "
+        "sum(l_quantity) AS s FROM lineitem GROUP BY l_returnflag) t"
+    ).collect()[0]["total"]
+    assert last == pytest.approx(exact)
+    assert steps[0].coverage < 1.0 and steps[-1].coverage == 1.0
+    assert first == pytest.approx(last, rel=0.25)  # H-T ballpark sanity
+
+
 # ------------------------------------------- composite error propagation
 def test_composite_err_column_and_bound(ctx, spark, lineitem):
     out = ctx.sql(

@@ -94,6 +94,18 @@ _SET_RE = re.compile(
 _GET_RE = re.compile(r"^\s*GET\s+([\w\.]+)\s*;?\s*$", re.IGNORECASE)
 
 
+def _reassemble(cl: dict, new_from: str) -> str:
+    """Rebuild a SELECT statement from its `_clauses` map with a
+    rewritten FROM — faithful because `_clauses` enforces canonical
+    clause order.  Shared by the nested-aggregation sql() and stream()
+    paths (one splice implementation, not two)."""
+    parts = ["SELECT " + cl["SELECT"], "FROM " + new_from]
+    for kw in ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
+        if kw in cl:
+            parts.append(kw + " " + cl[kw])
+    return " ".join(parts)
+
+
 def _parse_create_options(rest: str) -> dict:
     """WHERE / METHOD / HASHCOLUMN|ON / SIZE|RATIO / BLOCKSIZE options
     of a CREATE SCRAMBLE statement (any order after FROM).
@@ -492,6 +504,14 @@ class VerdictContext:
             if re.search(r"\b(ORDER\s+BY|LIMIT)\b", _mask(p), re.IGNORECASE):
                 return None
         try:
+            # arity gate BEFORE running anything: ask Catalyst (analysis
+            # only, no job) what each side's true column count is.
+            # Comparing the executed frames would be fooled by
+            # with_errors _err columns padding one side — fabricating a
+            # result for SQL Spark itself rejects (arity mismatch)
+            true_arity = {len(self.spark.sql(p).columns) for p in parts}
+            if len(true_arity) != 1:
+                return None  # Spark rejects this union — surface exactly
             frames = [
                 self.sql(p, early_stop=early_stop, with_errors=with_errors)
                 for p in parts
@@ -499,8 +519,8 @@ class VerdictContext:
             base = frames[0]
             ncols = len(base.columns)
             if any(len(f.columns) != ncols for f in frames):
-                # e.g. with_errors added _err on an approximate side
-                # but not on an exact side — exact fallback
+                # _err columns on an approximate side but not on an
+                # exact side — exact fallback (errors can't align)
                 return None
             integral = {"tinyint", "smallint", "int", "bigint"}
             floating = {"float", "double"}
@@ -605,16 +625,16 @@ class VerdictContext:
             if not views:
                 return None
             new_from = "".join(pieces) + from_text[last:]
-            parts = ["SELECT " + cl["SELECT"], "FROM " + new_from]
-            for kw in ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
-                if kw in cl:
-                    parts.append(kw + " " + cl[kw])
-            # classic spark.sql analyzes eagerly, so the returned frame
-            # holds the resolved plan and the views can be dropped
-            # right away (below); a ValueError from the engine (e.g.
-            # COUNT DISTINCT on a uniform scramble, zero-row inner) is
-            # the same pass-through signal as the front door's
-            return self.spark.sql(" ".join(parts))
+            # a ValueError from the engine (e.g. COUNT DISTINCT on a
+            # uniform scramble, zero-row inner) is the same
+            # pass-through signal as the front door's
+            out = self.spark.sql(_reassemble(cl, new_from))
+            # force analysis NOW: classic spark.sql analyzes eagerly
+            # anyway, but Spark Connect defers — without this probe a
+            # Catalyst-rejected outer would surface at the caller's
+            # .collect() instead of falling back to exact here
+            _ = out.columns
+            return out
         except (ValueError, AnalysisException):
             return None  # shape the engine/Catalyst rejects — exact fallback
         finally:
@@ -1198,27 +1218,32 @@ class VerdictContext:
             return None
         probe.release()  # self.stream(inner) below re-plans for itself
         from_text = cl["FROM"]
-        name = f"_vdb_nested_{uuid.uuid4().hex[:12]}"
-        parts = [
-            "SELECT " + cl["SELECT"],
-            "FROM " + from_text[:s] + name + from_text[e + 1 :],
-        ]
-        for kw in ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
-            if kw in cl:
-                parts.append(kw + " " + cl[kw])
-        outer_sql = " ".join(parts)
+        base = f"_vdb_nested_{uuid.uuid4().hex[:12]}"
 
         def gen():
+            names: list[str] = []
             try:
                 for res in self.stream(inner):
                     sdf = res.estimates_sdf
                     if sdf is None:
                         sdf = self.spark.createDataFrame(res.estimates)
+                    # drop the per-step error columns: the exact outer
+                    # never sees them in sql()'s nested path either, and
+                    # a star-expanding outer must match the exact schema
+                    keep = [c for c in sdf.columns if not c.endswith("_err")]
+                    sdf = sdf.select(*keep)
+                    # one view name PER STEP: a shared name re-registered
+                    # each iteration would make every lazily-analyzed
+                    # step (Spark Connect) resolve to the FINAL snapshot
+                    name = f"{base}_{len(names)}"
+                    names.append(name)
                     sdf.createOrReplaceTempView(name)
-                    # classic spark.sql analyzes eagerly, so each
-                    # step's frame holds its own resolved plan even
-                    # though the view is re-registered next step
-                    out_df = self.spark.sql(outer_sql)
+                    out_df = self.spark.sql(
+                        _reassemble(
+                            cl, from_text[:s] + name + from_text[e + 1 :]
+                        )
+                    )
+                    _ = out_df.columns  # force analysis (Connect defers)
                     step = ProgressiveResult.__new__(ProgressiveResult)
                     step.__dict__.update(res.__dict__)
                     step.estimates_sdf = out_df
@@ -1226,10 +1251,14 @@ class VerdictContext:
                     yield step
             finally:
                 if hasattr(self.spark, "_jsparkSession"):
-                    try:
-                        self.spark.catalog.dropTempView(name)
-                    except Exception:
-                        pass
+                    # classic: every yielded frame holds its resolved
+                    # plan, so the step views can all drop; Connect
+                    # keeps them (lazy analysis — see _try_nested)
+                    for name in names:
+                        try:
+                            self.spark.catalog.dropTempView(name)
+                        except Exception:
+                            pass
 
         return gen()
 
