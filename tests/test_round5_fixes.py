@@ -579,6 +579,40 @@ def test_stream_nested_early_steps_keep_their_snapshot(ctx, spark, lineitem):
     assert first == pytest.approx(last, rel=0.25)  # H-T ballpark sanity
 
 
+# ------------------------------------ aggregate dim beside a scramble
+def test_aggdim_beside_scramble_full_coverage_exact(ctx, spark, lineitem, orders):
+    """An aggregate derived table sitting beside a scramble in the same
+    FROM now substitutes its own progressive estimate as the dimension
+    (both sides approximate; full coverage on both == exact)."""
+    ctx.create_scramble("orders", orders, method="uniform", nblocks=4, seed=9)
+    q = (
+        "SELECT o_orderstatus, count(*) AS n, "
+        "sum(CAST(round(qty) AS BIGINT)) AS total_qty "
+        "FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS qty "
+        "FROM lineitem GROUP BY l_orderkey) t ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    got = [r.asDict() for r in ctx.sql(q, early_stop=False).collect()]
+    want = [r.asDict() for r in spark.sql(q).collect()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g["o_orderstatus"] == w["o_orderstatus"]
+        assert g["n"] == pytest.approx(w["n"])
+        assert g["total_qty"] == pytest.approx(w["total_qty"])
+
+
+def test_aggdim_nonrewritable_inner_still_exact_dim(ctx, spark, lineitem, orders):
+    # inner with DISTINCT (non-rewritable) keeps the old exact-dim path
+    q = (
+        "SELECT count(*) AS c FROM lineitem JOIN "
+        "(SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 200000) t "
+        "ON l_orderkey = o_orderkey"
+    )
+    got = ctx.sql(q, early_stop=False).collect()[0]["c"]
+    want = spark.sql(q).collect()[0]["c"]
+    assert got == pytest.approx(want)
+
+
 # ------------------------------------------- composite error propagation
 def test_composite_err_column_and_bound(ctx, spark, lineitem):
     out = ctx.sql(

@@ -414,7 +414,7 @@ class VerdictContext:
             # original text (exact spark.sql handles WITH natively)
             query = cte
         try:
-            plan = self._plan(query)
+            plan = self._plan(query, early_stop=early_stop)
         except Unsupported:
             # before the exact fallback, try the nested-aggregation
             # path: the whole statement may be outside the rewritable
@@ -603,7 +603,7 @@ class VerdictContext:
             for s, e, inner in spans:
                 df = None
                 try:
-                    inner_plan = self._plan(inner)
+                    inner_plan = self._plan(inner, early_stop=early_stop)
                 except (Unsupported, AnalysisException):
                     inner_plan = None
                 if inner_plan is not None and not inner_plan.const_false:
@@ -829,7 +829,7 @@ class VerdictContext:
         self.metastore.register("scramble", source_table, path, meta.to_json())
 
     # -------------------------------------------------------- planning
-    def _plan(self, query: str) -> _Plan | None:
+    def _plan(self, query: str, early_stop: bool = True) -> _Plan | None:
         p = parse_select(query)
         n = len(p.tables)
         scramble_at: dict[int, tuple[DataFrame, ScrambleMeta]] = {}
@@ -848,13 +848,40 @@ class VerdictContext:
                     _, items, inner_where = t.inner
                     subq_at[i] = (items, inner_where)
                 else:
-                    # opaque derived table over unscrambled base(s):
-                    # execute the inner text exactly — dimensions are
-                    # exact by definition
+                    # opaque derived table: if its body is itself a
+                    # rewritable aggregate over a registered scramble,
+                    # substitute its progressive ESTIMATE frame as the
+                    # dimension (the reference's dependent nodes
+                    # approximate both sides,
+                    # QueryExecutionPlanFactory.java:242-345; estimates
+                    # from independent scrambles stay unbiased under
+                    # the join product).  The run happens at plan time
+                    # — a later Unsupported in this method wastes it
+                    # (correctly: exact fallback), same hazard as the
+                    # reference's sequential dependent execution.
+                    # Otherwise execute the inner text exactly —
+                    # plain dimensions are exact by definition.
+                    sub_df = None
                     try:
-                        dim_at[i] = self.spark.sql(t.subquery)
-                    except AnalysisException:
-                        raise Unsupported(f"unresolvable derived table {t.alias!r}")
+                        sub_plan = self._plan(t.subquery, early_stop=early_stop)
+                    except (Unsupported, AnalysisException):
+                        sub_plan = None
+                    if sub_plan is not None and not sub_plan.const_false:
+                        try:
+                            sub_df = self._execute(
+                                sub_plan, early_stop=early_stop, with_errors=False
+                            )
+                        except (ValueError, AnalysisException):
+                            sub_df = None
+                    if sub_df is not None:
+                        dim_at[i] = sub_df
+                    else:
+                        try:
+                            dim_at[i] = self.spark.sql(t.subquery)
+                        except AnalysisException:
+                            raise Unsupported(
+                                f"unresolvable derived table {t.alias!r}"
+                            )
             elif self.metastore.lookup(t.name, kind="scramble") is not None:
                 scramble_at[i] = self.load_scramble_for(t.name)
             else:

@@ -1310,6 +1310,46 @@ SELECT k, cnt FROM (
 """
 
 
+def sql_aggdim_join_front_door(spark, sf_dir):
+    """Aggregate derived table BESIDE a scramble: the inner per-order
+    rollup over the scrambled lineitem runs progressively at plan time
+    and its estimate frame joins the scrambled orders as a dimension
+    (the reference's dependent nodes approximate both sides,
+    QueryExecutionPlanFactory.java:242-345).  Estimates from the two
+    independent scrambles stay unbiased under the join product; full
+    coverage on both == exact, so a SQL oracle applies."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir, "join")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=8, seed=7)
+    ctx.create_scramble("orders", o, method="uniform", nblocks=4, seed=13)
+    out = ctx.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+                  sum(CAST(round(qty) AS BIGINT)) AS total_qty
+           FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+                             FROM lineitem GROUP BY l_orderkey) t
+             ON o_orderkey = l_orderkey
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        early_stop=False,
+    )
+    return out.select(
+        "o_orderstatus",
+        F.round("n_orders").cast("long").alias("n_orders"),
+        F.round("total_qty").cast("long").alias("total_qty"),
+    ).orderBy("o_orderstatus")
+
+
+SQL_AGGDIM_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(qty) AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+                  FROM lineitem GROUP BY l_orderkey) t
+  ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ===================================================== training-data ops
 def dedup_exact_documents(spark, sf_dir):
     """Exact dedup over a constructed duplicate-bearing input."""
@@ -1670,6 +1710,7 @@ def queries() -> dict[str, Query]:
         "sql_rightjoin_front_door": sql_rightjoin_front_door,
         "sql_cte_front_door": sql_cte_front_door,
         "sql_unionall_front_door": sql_unionall_front_door,
+        "sql_aggdim_join_front_door": sql_aggdim_join_front_door,
         "approx_early_stop": approx_early_stop,
         "bloom_semi_join_count": bloom_semi_join_count,
         "dedup_exact_documents": dedup_exact_documents,
@@ -1721,6 +1762,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_rightjoin_front_door": SQL_RIGHTJOIN_SQL,
         "sql_cte_front_door": SQL_CTE_SQL,
         "sql_unionall_front_door": SQL_UNIONALL_SQL,
+        "sql_aggdim_join_front_door": SQL_AGGDIM_SQL,
         "bloom_semi_join_count": BLOOM_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "simhash_pairs_documents": SIMHASH_SQL,
