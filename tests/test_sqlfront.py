@@ -605,3 +605,342 @@ def test_create_where_parenthesized_keyword_column(spark, tmp_path, lineitem):
     c.sql("CREATE SCRAMBLE p FROM li_paren WHERE (l_quantity > 10)")
     n = c.sql("SELECT count(*) AS n FROM li_paren", early_stop=False).first()["n"]
     assert n == pytest.approx(lineitem.where("l_quantity > 10").count())
+
+
+# ------------------------------------------- variance-family aggregates
+# (the reference's declared extension surface: supported_queries.md
+# "Future supported aggregate functions" — var_pop/var_samp/stddev_pop/
+# stddev_samp/covar_pop/covar_samp/corr, decomposed to sum/count
+# partials by sqlparse._expand_stats)
+
+def test_parse_stat_call_becomes_composite_with_shared_partials():
+    p = parse_select(
+        "SELECT g, var_pop(x) AS v, stddev_pop(x) AS s "
+        "FROM t GROUP BY g"
+    )
+    assert [c[0] for c in p.composites] == ["v", "s"]
+    # var_pop and stddev_pop of the same column share ALL partials:
+    # count(x), sum(x), sum(x*x) — exactly three hidden aggregates
+    assert len(p.agg_items) == 3
+    assert all(a.hidden for a in p.agg_items)
+    assert {a.op for a in p.agg_items} == {"count", "sum"}
+
+
+def test_parse_stat_distinct_rejected():
+    with pytest.raises(Unsupported, match="DISTINCT"):
+        parse_select("SELECT var_pop(DISTINCT x) FROM t")
+
+
+def test_parse_stat_wrong_arity_rejected():
+    with pytest.raises(Unsupported, match="two arguments"):
+        parse_select("SELECT corr(x) AS c FROM t")
+    with pytest.raises(Unsupported, match="one argument"):
+        parse_select("SELECT var_pop(x, y) AS v FROM t")
+
+
+def test_stat_aggregates_full_coverage_exact(ctx, lineitem):
+    out = (
+        ctx.sql(
+            "SELECT l_returnflag, var_pop(l_quantity) AS vq,"
+            " var_samp(l_quantity) AS vsq,"
+            " stddev_pop(l_quantity) AS sdq,"
+            " stddev_samp(l_quantity) AS ssq,"
+            " covar_pop(l_quantity, l_extendedprice) AS cv,"
+            " covar_samp(l_quantity, l_extendedprice) AS cvs,"
+            " corr(l_quantity, l_extendedprice) AS cr"
+            " FROM lineitem GROUP BY l_returnflag",
+            early_stop=False,
+        )
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.var_pop("l_quantity").alias("vq"),
+            F.var_samp("l_quantity").alias("vsq"),
+            F.stddev_pop("l_quantity").alias("sdq"),
+            F.stddev_samp("l_quantity").alias("ssq"),
+            F.covar_pop("l_quantity", "l_extendedprice").alias("cv"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("cvs"),
+            F.corr("l_quantity", "l_extendedprice").alias("cr"),
+        )
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    for c in ["vq", "vsq", "sdq", "ssq", "cv", "cvs", "cr"]:
+        assert out[c].to_numpy() == pytest.approx(
+            exact[c].to_numpy(), rel=1e-9
+        ), c
+
+
+def test_stat_two_arg_null_semantics(spark, tmp_path):
+    # covar/corr must restrict every partial to rows where BOTH inputs
+    # are non-null (SQL semantics) — the `+ 0*other` guard
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 6,
+            "x": [1.0, 2.0, 3.0, None, 5.0, 6.0],
+            "y": [2.0, None, 6.0, 8.0, 10.0, 14.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    c = VerdictContext(spark, str(tmp_path))
+    df.createOrReplaceTempView("nulltab")
+    c.create_scramble("nulltab", df, method="uniform", nblocks=2, seed=5)
+    out = c.sql(
+        "SELECT g, covar_pop(x, y) AS cv, corr(x, y) AS cr,"
+        " var_samp(x) AS vs FROM nulltab GROUP BY g",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        df.groupBy("g")
+        .agg(
+            F.covar_pop("x", "y").alias("cv"),
+            F.corr("x", "y").alias("cr"),
+            F.var_samp("x").alias("vs"),
+        )
+        .toPandas()
+    )
+    assert out["cv"].iloc[0] == pytest.approx(exact["cv"].iloc[0], rel=1e-9)
+    assert out["cr"].iloc[0] == pytest.approx(exact["cr"].iloc[0], rel=1e-9)
+    assert out["vs"].iloc[0] == pytest.approx(exact["vs"].iloc[0], rel=1e-9)
+
+
+def test_stat_degenerate_group_is_null(spark, tmp_path):
+    # var_samp/stddev_samp of a single-row group is NULL (n-1 == 0),
+    # matching SQL — the CASE guard, not a div-by-zero artifact
+    pdf = pd.DataFrame({"g": ["a", "b", "b"], "x": [4.0, 1.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    c = VerdictContext(spark, str(tmp_path))
+    df.createOrReplaceTempView("degtab")
+    c.create_scramble("degtab", df, method="uniform", nblocks=1, seed=5)
+    out = (
+        c.sql(
+            "SELECT g, var_samp(x) AS vs, stddev_samp(x) AS ss,"
+            " var_pop(x) AS vp FROM degtab GROUP BY g",
+            early_stop=False,
+        )
+        .orderBy("g")
+        .toPandas()
+    )
+    assert pd.isna(out["vs"].iloc[0]) and pd.isna(out["ss"].iloc[0])
+    assert out["vp"].iloc[0] == pytest.approx(0.0)
+    assert out["vs"].iloc[1] == pytest.approx(2.0)
+
+
+def test_stat_in_having_and_expression(ctx, lineitem):
+    # stat calls inside HAVING and inside a larger select expression
+    out = ctx.sql(
+        "SELECT l_returnflag, 2 * var_pop(l_quantity) AS v2"
+        " FROM lineitem GROUP BY l_returnflag"
+        " HAVING stddev_pop(l_quantity) > 0 ORDER BY l_returnflag",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.var_pop("l_quantity").alias("v"))
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    assert out["v2"].to_numpy() == pytest.approx(
+        2 * exact["v"].to_numpy(), rel=1e-9
+    )
+
+
+def test_stat_with_errors_columns(ctx):
+    out = ctx.sql(
+        "SELECT l_returnflag, var_pop(l_quantity) AS vq"
+        " FROM lineitem GROUP BY l_returnflag",
+        early_stop=False,
+        with_errors=True,
+    )
+    assert "vq_err" in out.columns
+
+
+# ------------------------------------------------- percentile front door
+# supported_queries.md "percentile(col1, p)" — routed to a one-pass
+# mergeable KLL sketch by api._try_percentile (not progressive H-T)
+
+def test_parse_percentile_shapes():
+    from verdictdb_spark.sqlparse import parse_percentile_select
+
+    p = parse_percentile_select(
+        "SELECT g, percentile(x, 0.25) AS q25, approx_percentile(y, 0.5) AS m"
+        " FROM t GROUP BY g ORDER BY g LIMIT 5"
+    )
+    assert p is not None
+    assert p.items == [("q25", "x", 0.25), ("m", "y", 0.5)]
+    assert p.group_cols == ["g"] and p.limit == 5
+    # not-this-shape cases return None (fallback chain continues)
+    assert parse_percentile_select("SELECT sum(x) FROM t") is None
+    assert parse_percentile_select("SELECT percentile(x, 1.5) AS q FROM t") is None
+    assert (
+        parse_percentile_select(
+            "SELECT percentile(x, 0.5) + 1 AS q FROM t"
+        )
+        is None
+    )
+    assert (
+        parse_percentile_select(
+            "SELECT percentile(x, 0.5) AS q FROM t JOIN u ON t.a = u.a"
+        )
+        is None
+    )
+
+
+def test_sql_percentile_grouped_matches_exact_bands(ctx, lineitem):
+    # l_quantity is integer 1..50: probing band CENTERS, KLL k=4096
+    # (~0.08% rank error) provably returns the exact band value
+    out = (
+        ctx.sql(
+            "SELECT l_returnflag, percentile(l_quantity, 0.25) AS p25,"
+            " percentile(l_quantity, 0.75) AS p75"
+            " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+            early_stop=False,
+        )
+        .toPandas()
+    )
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        )
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    assert out["p25"].round().tolist() == exact["p25"].round().tolist()
+    assert out["p75"].round().tolist() == exact["p75"].round().tolist()
+
+
+def test_sql_percentile_ungrouped_with_where(ctx, lineitem):
+    out = ctx.sql(
+        "SELECT percentile(l_quantity, 0.49) AS med FROM lineitem"
+        " WHERE l_discount > 0.02",
+        early_stop=False,
+    ).toPandas()
+    exact = (
+        lineitem.where("l_discount > 0.02")
+        .agg(F.expr("percentile(l_quantity, 0.49)").alias("med"))
+        .toPandas()
+    )
+    assert round(out["med"].iloc[0]) == round(exact["med"].iloc[0])
+
+
+def test_sql_percentile_mixed_with_sum_falls_back_exact(ctx, lineitem, spark):
+    # percentile mixed with a plain aggregate is outside the sketch
+    # shape AND the progressive shape — contract is exact pass-through
+    lineitem.createOrReplaceTempView("lineitem")
+    try:
+        out = ctx.sql(
+            "SELECT percentile(l_quantity, 0.5) AS med, sum(l_quantity) AS s"
+            " FROM lineitem"
+        ).toPandas()
+        exact = lineitem.agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("med"),
+            F.sum("l_quantity").alias("s"),
+        ).toPandas()
+        assert out["s"].iloc[0] == exact["s"].iloc[0]
+        assert out["med"].iloc[0] == pytest.approx(exact["med"].iloc[0])
+    finally:
+        spark.catalog.dropTempView("lineitem")
+
+
+# --------------------------------------------- legacy sample DDL surface
+# supported_queries.md: "create [XX%] {uniform|stratified|universe}
+# sample of t [on col]", "show samples", "(delete|drop) samples of t"
+
+def test_create_uniform_sample_ddl(spark, tmp_path, lineitem):
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.createOrReplaceTempView("li_sampsrc")
+    try:
+        st = c.sql("CREATE 20% UNIFORM SAMPLE OF li_sampsrc").first()
+        assert st["status"] == "created" and st["method"] == "uniform"
+        shown = c.sql("SHOW SAMPLES").toPandas()
+        assert "li_sampsrc" in set(shown["original_table"])
+        # a 20% partial-size scramble still answers correctly (H-T)
+        n = c.sql(
+            "SELECT count(*) AS n FROM li_sampsrc", early_stop=False
+        ).first()["n"]
+        assert n == pytest.approx(lineitem.count(), rel=0.15)
+        dropped = c.sql("DROP SAMPLES OF li_sampsrc").first()["dropped"]
+        assert dropped == 1
+        assert c.sql("SHOW SAMPLES").count() == 0
+    finally:
+        spark.catalog.dropTempView("li_sampsrc")
+
+
+def test_create_universe_sample_ddl_countdistinct(spark, tmp_path, orders):
+    c = VerdictContext(spark, str(tmp_path))
+    orders.createOrReplaceTempView("ord_sampsrc")
+    try:
+        c.sql("CREATE UNIVERSE SAMPLE OF ord_sampsrc ON o_custkey")
+        got = c.sql(
+            "SELECT count(distinct o_custkey) AS d FROM ord_sampsrc",
+            early_stop=False,
+        ).first()["d"]
+        exact = orders.select("o_custkey").distinct().count()
+        assert got == pytest.approx(exact, rel=0.05)
+    finally:
+        spark.catalog.dropTempView("ord_sampsrc")
+
+
+def test_create_stratified_sample_ddl_categorical(spark, tmp_path, lineitem):
+    # categorical ON column -> group-only fastconverge (no outlier
+    # tier); every group survives any block prefix early
+    c = VerdictContext(spark, str(tmp_path))
+    lineitem.createOrReplaceTempView("li_stratsrc")
+    try:
+        st = c.sql(
+            "CREATE STRATIFIED SAMPLE OF li_stratsrc ON l_returnflag"
+        ).first()
+        assert st["method"] == "stratified"
+        out = c.sql(
+            "SELECT l_returnflag, sum(l_quantity) AS s FROM li_stratsrc"
+            " GROUP BY l_returnflag",
+            early_stop=False,
+        ).toPandas()
+        exact = (
+            lineitem.groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("s"))
+            .toPandas()
+        )
+        assert sorted(out["l_returnflag"]) == sorted(exact["l_returnflag"])
+        m = out.merge(exact, on="l_returnflag", suffixes=("", "_x"))
+        assert m["s"].to_numpy() == pytest.approx(m["s_x"].to_numpy())
+    finally:
+        spark.catalog.dropTempView("li_stratsrc")
+
+
+def test_malformed_sample_ddl_raises(spark, tmp_path):
+    c = VerdictContext(spark, str(tmp_path))
+    with pytest.raises(ValueError):
+        c.sql("CREATE 5% SAMPLE FOR sometable")  # FOR is not OF
+    spark.range(5).withColumnRenamed("id", "x").createOrReplaceTempView(
+        "tiny_samp"
+    )
+    try:
+        with pytest.raises(ValueError, match="ON column"):
+            c.sql("CREATE UNIFORM SAMPLE OF tiny_samp ON x")
+        with pytest.raises(ValueError, match="ON <column>"):
+            c.sql("CREATE UNIVERSE SAMPLE OF tiny_samp")
+    finally:
+        spark.catalog.dropTempView("tiny_samp")
+
+
+def test_sql_percentile_all_null_returns_one_null_row(ctx, spark):
+    # SQL semantics: an ungrouped aggregate always returns one row —
+    # the sketch returns zero; the lazy literal-row left join restores
+    # the NULL row without executing the scan twice
+    spark.createDataFrame([(None,), (None,)], "x double").createOrReplaceTempView(
+        "allnull_pct"
+    )
+    try:
+        out = ctx.sql(
+            "SELECT percentile(x, 0.5) AS m FROM allnull_pct",
+            early_stop=False,
+        ).toPandas()
+        assert len(out) == 1 and out["m"].isna().all()
+    finally:
+        spark.catalog.dropTempView("allnull_pct")

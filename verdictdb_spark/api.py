@@ -65,7 +65,29 @@ from .sqlparse import (
 
 # ---- scramble DDL statements (reference grammar VerdictSQLParser.g4:
 # 69-102: create/insert/drop/drop-all/show scramble statements) -------
-_SHOW_RE = re.compile(r"^\s*SHOW\s+SCRAMBLES\s*;?\s*$", re.IGNORECASE)
+_SHOW_RE = re.compile(
+    # SHOW SAMPLES is the reference docs' legacy spelling for the same
+    # listing (supported_queries.md "show samples [for db]")
+    r"^\s*SHOW\s+(?:SCRAMBLES|SAMPLES)(?:\s+FOR\s+[\w\.]+)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+# legacy sample DDL from the reference docs (supported_queries.md
+# "create [XX%] {uniform|stratified|universe} sample of t [on col]"):
+# mapped onto the scramble machinery — uniform -> uniform scramble,
+# universe -> hash scramble on the column, stratified -> fastconverge
+# (the stratified-by-group-size method) on the column
+_CREATE_SAMPLE_RE = re.compile(
+    r"^\s*CREATE\s+(?:(?P<pct>\d+(?:\.\d+)?)%\s+)?"
+    r"(?:(?P<kind>UNIFORM|STRATIFIED|UNIVERSE)\s+)?SAMPLE\s+OF\s+"
+    r"(?P<orig>[\w\.]+)(?:\s+ON\s+(?P<col>[\w\.]+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SAMPLES_RE = re.compile(
+    r"^\s*(?:DROP|DELETE)\s+(?:\d+(?:\.\d+)?%\s+)?"
+    r"(?:(?:UNIFORM|STRATIFIED|UNIVERSE)\s+)?SAMPLES?\s+OF\s+"
+    r"(?P<orig>[\w\.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+SCRAMBLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w\.]+)"
     r"\s+FROM\s+(?P<orig>[\w\.]+)(?P<rest>[\s\S]*?);?\s*$",
@@ -161,6 +183,7 @@ _CONF_VALIDATORS = {
     "verdictdb.value_threshold": (float, "a number"),
     "verdictdb.group_threshold": (float, "a number"),
     "verdictdb.engine_threshold": (lambda v: int(float(v)), "an integer"),
+    "verdictdb.percentile_k": (lambda v: int(float(v)), "an integer"),
     "verdictdb.engine": (
         lambda v: {"auto": 1, "driver": 1, "spark": 1}[v],
         "one of auto|driver|spark",
@@ -416,10 +439,15 @@ class VerdictContext:
         try:
             plan = self._plan(query, early_stop=early_stop)
         except Unsupported:
-            # before the exact fallback, try the nested-aggregation
-            # path: the whole statement may be outside the rewritable
-            # shape while a FROM derived table inside it is itself a
-            # rewritable aggregate over a scramble
+            # before the exact fallback: percentile-only selects run as
+            # a one-pass KLL sketch (the reference's percentile(col, p)
+            # surface), then the nested-aggregation path — the whole
+            # statement may be outside the rewritable shape while a
+            # FROM derived table inside it is itself a rewritable
+            # aggregate over a scramble
+            pct = self._try_percentile(query)
+            if pct is not None:
+                return pct
             nested = self._try_nested(query, early_stop=early_stop)
             if nested is not None:
                 return nested
@@ -437,6 +465,9 @@ class VerdictContext:
             # progressive scan repeated for nothing)
             return self.spark.sql(query)
         if plan is None:
+            pct = self._try_percentile(query)
+            if pct is not None:
+                return pct
             nested = self._try_nested(query, early_stop=early_stop)
             if nested is not None:
                 return nested
@@ -645,6 +676,97 @@ class VerdictContext:
             # the caller's later .collect() — leave the uuid-named
             # views registered (metadata only; no data pinned)
 
+    # ------------------------------------------------------- percentile
+    def _try_percentile(self, query: str) -> DataFrame | None:
+        """``SELECT [g,] percentile(x, p) ... FROM t [WHERE] [GROUP BY
+        g] [ORDER BY] [LIMIT]`` — the reference's declared percentile
+        surface (supported_queries.md "percentile(col1, p) — p should
+        be within 0.01 and 0.99").  Answered by one mergeable KLL
+        sketch pass per distinct input expression (map-side partials +
+        log-tree merge, rank-error ~O(1/k)), not the progressive
+        sum/count machinery: quantiles are not H-T-scalable sums, but
+        a single sketch scan is already the approximate fast path.
+        Returns None for any other shape (fallback chain continues)."""
+        from .sqlparse import parse_percentile_select
+
+        p = parse_percentile_select(query)
+        if p is None:
+            return None
+        df = None
+        try:
+            df, _meta = self.load_scramble_for(p.table)
+        except Exception:
+            try:
+                df = self.spark.table(p.table)
+            except Exception:
+                return None
+        from .operators.quantile import approx_quantiles_wide
+
+        k = int(self.conf.get("verdictdb.percentile_k", "4096"))
+        try:
+            if p.where:
+                df = df.where(F.expr(p.where))
+            # one sketch pass per distinct input expression; the tiny
+            # per-expression result frames join on the group keys
+            by_col: dict[str, list[tuple[str, float]]] = {}
+            for name, col, prob in p.items:
+                by_col.setdefault(col, []).append((name, prob))
+            pieces = [
+                approx_quantiles_wide(
+                    df,
+                    F.expr(col).cast("double"),
+                    [pr for _, pr in pairs],
+                    group_by=p.group_cols,
+                    names=[n for n, _ in pairs],
+                    method="kll",
+                    k=k,
+                )
+                for col, pairs in by_col.items()
+            ]
+            out = pieces[0]
+            for piece in pieces[1:]:
+                out = (
+                    out.join(piece, on=p.group_cols)
+                    if p.group_cols
+                    else out.crossJoin(piece)
+                )
+            if not p.group_cols:
+                # an ungrouped aggregate query always returns ONE row;
+                # a sketch over zero non-null values returns none —
+                # restore SQL semantics (one all-NULL row) lazily via a
+                # left join from a literal row, so the sketch scan is
+                # not executed twice just to probe emptiness
+                cols = out.columns
+                out = (
+                    self.spark.range(1)
+                    .select(F.lit(1).alias("_vdb_one"))
+                    .join(
+                        out.withColumn("_vdb_one", F.lit(1)),
+                        on="_vdb_one",
+                        how="left",
+                    )
+                    .select(*cols)
+                )
+            for src, name in p.group_out:
+                if name != src:
+                    out = out.withColumnRenamed(src, name)
+            if p.order_by:
+                out = out.orderBy(
+                    *[
+                        F.col(o.expr).desc() if o.desc else F.col(o.expr).asc()
+                        for o in p.order_by
+                    ]
+                )
+            out = out.select(*p.select_order)
+            if p.limit is not None:
+                out = out.limit(p.limit)
+            _ = out.columns  # force analysis (Spark Connect defers)
+            return out
+        except (ValueError, AnalysisException):
+            if self._debug():
+                raise
+            return None
+
     # ------------------------------------------------------------- DDL
     def _ddl(self, query: str) -> DataFrame | None:
         """Scramble DDL dispatch (VerdictSQLParser.g4:69-102).  Returns
@@ -700,6 +822,73 @@ class VerdictContext:
             return spark.createDataFrame(
                 [(name, orig, "exists" if exists else "created")],
                 schema="scramble string, original_table string, status string",
+            )
+
+        m = _CREATE_SAMPLE_RE.match(query)
+        if m:
+            # legacy docs surface: CREATE [XX%] {UNIFORM|STRATIFIED|
+            # UNIVERSE} SAMPLE OF t [ON col] (supported_queries.md).
+            # uniform -> uniform scramble sized XX% (1% docs default);
+            # universe -> hash scramble on the column (full-size: a
+            # hash scramble IS the universe-sample family, prefixes
+            # select hash ranges); stratified -> fastconverge with
+            # group protection on the column (numeric column also gets
+            # the outlier tier; coverage-oriented, so XX% is ignored)
+            kind = (m.group("kind") or "uniform").lower()
+            orig, col = m.group("orig"), m.group("col")
+            pct = float(m.group("pct")) if m.group("pct") else 1.0
+            name = re.sub(r"[^\w]", "_", f"{orig}_{kind}_sample")
+            path = os.path.join(self.root, name)
+            if os.path.exists(os.path.join(path, "_verdictdb_meta.json")):
+                raise ValueError(
+                    f"sample {name!r} already exists (DROP SAMPLES OF "
+                    f"{orig} first)"
+                )
+            df = spark.table(orig)
+            if kind == "uniform":
+                if col is not None:
+                    raise ValueError("UNIFORM SAMPLE takes no ON column")
+                self._build_and_register(
+                    path, orig, df, method="uniform", size=pct / 100.0
+                )
+            elif kind == "universe":
+                if col is None:
+                    raise ValueError("UNIVERSE SAMPLE needs ON <column>")
+                self._build_and_register(
+                    path, orig, df, method="hash", column=col
+                )
+            else:  # stratified
+                if col is None:
+                    raise ValueError("STRATIFIED SAMPLE needs ON <column>")
+                numeric = any(
+                    f.name == col
+                    and f.dataType.typeName()
+                    in (
+                        "byte", "short", "integer", "long",
+                        "float", "double", "decimal",
+                    )
+                    for f in df.schema.fields
+                )
+                self._build_and_register(
+                    path, orig, df, method="fastconverge",
+                    column=col if numeric else None, group_column=col,
+                )
+            return spark.createDataFrame(
+                [(name, orig, kind, "created")],
+                schema="scramble string, original_table string, "
+                "method string, status string",
+            )
+
+        m = _DROP_SAMPLES_RE.match(query)
+        if m:
+            dropped = 0
+            for e in self.metastore.show("scramble"):
+                if e.source_table == m.group("orig"):
+                    self._drop_entry(e)
+                    dropped += 1
+            return spark.createDataFrame(
+                [(m.group("orig"), dropped)],
+                schema="original_table string, dropped int",
             )
 
         m = _DROP_ALL_RE.match(query)
@@ -769,7 +958,9 @@ class VerdictContext:
             )
 
         if re.match(
-            r"^\s*(?:CREATE|DROP|APPEND|INSERT)\s+(?:ALL\s+)?SCRAMBLES?\b",
+            r"^\s*(?:CREATE|DROP|APPEND|INSERT)\s+(?:ALL\s+)?SCRAMBLES?\b"
+            r"|^\s*(?:CREATE|DROP|DELETE)\s+(?:\d+(?:\.\d+)?%\s+)?"
+            r"(?:(?:UNIFORM|STRATIFIED|UNIVERSE)\s+)?SAMPLES?\s+(?:OF|FOR)\b",
             query, re.IGNORECASE,
         ):
             # scramble-DDL prefix but no statement form matched: raise a
@@ -811,13 +1002,14 @@ class VerdictContext:
         """The single build + persist + register sequence behind both
         the ``create_scramble`` API and the CREATE SCRAMBLE DDL."""
         if method == "fastconverge":
-            if not column:
+            if not column and not kwargs.get("group_column"):
                 raise ValueError(
                     "METHOD fastconverge needs an outlier column "
-                    "(HASHCOLUMN/ON <col> in DDL, column= in the API)"
+                    "(HASHCOLUMN/ON <col> in DDL, column= in the API) "
+                    "or a group_column for group-only stratification"
                 )
             sdf, meta = create_fastconverge_scramble(
-                df, outlier_column=column, nblocks=nblocks, seed=seed,
+                df, outlier_column=column or None, nblocks=nblocks, seed=seed,
                 block_size=block_size, **kwargs,
             )
         else:

@@ -1011,6 +1011,110 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def sql_stats_front_door(spark, sf_dir):
+    """Variance-family aggregates through the SQL front door:
+    ``var_pop/var_samp/stddev_pop/stddev_samp/covar_pop/covar_samp/
+    corr`` — exactly the reference's declared extension surface
+    (`/root/reference/docs/docs/documentation/supported_queries.md`
+    "Future supported aggregate functions").  Each call is textually
+    decomposed into sum/count partials (`sqlparse._stat_identity`) and
+    evaluated as a composite residual over the H-T estimate frame, so
+    the whole family rides the existing progressive machinery — hidden
+    partials dedupe across calls (var_pop and stddev_pop of the same
+    column share all three sums).  Full coverage == exact; rounded for
+    cross-engine float determinism (naive-identity vs Welford orders
+    differ at ~1e-12 relative)."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    out = ctx.sql(
+        """SELECT l_returnflag,
+                  var_pop(l_quantity) AS vq,
+                  var_samp(l_discount) AS vd,
+                  stddev_pop(l_quantity) AS sdq,
+                  stddev_samp(l_quantity) AS ssq,
+                  covar_pop(l_quantity, l_discount) AS cvd,
+                  covar_samp(l_quantity, l_discount) AS cvsd,
+                  corr(l_quantity, l_extendedprice) AS cr
+           FROM lineitem
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        early_stop=False,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("vq", 6).alias("vq"),
+        F.round("vd", 8).alias("vd"),
+        F.round("sdq", 6).alias("sdq"),
+        F.round("ssq", 6).alias("ssq"),
+        F.round("cvd", 8).alias("cvd"),
+        F.round("cvsd", 8).alias("cvsd"),
+        F.round("cr", 8).alias("cr"),
+    ).orderBy("l_returnflag")
+
+
+SQL_STATS_SQL = """
+SELECT l_returnflag,
+       round(var_pop(l_quantity), 6) AS vq,
+       round(var_samp(l_discount), 8) AS vd,
+       round(stddev_pop(l_quantity), 6) AS sdq,
+       round(stddev_samp(l_quantity), 6) AS ssq,
+       round(covar_pop(l_quantity, l_discount), 8) AS cvd,
+       round(covar_samp(l_quantity, l_discount), 8) AS cvsd,
+       round(corr(l_quantity, l_extendedprice), 8) AS cr
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def sql_percentile_front_door(spark, sf_dir):
+    """``percentile(col, p)`` through the SQL front door — the
+    reference's declared percentile surface (supported_queries.md
+    "percentile(col1, p) — p should be within 0.01 and 0.99").
+    Routed to one mergeable KLL sketch pass (map-side partials +
+    log-tree merge, `api._try_percentile`), not the progressive
+    machinery: quantiles are not H-T-scalable sums.
+
+    Oracle design mirrors `approx_quantiles_lineitem`: l_quantity is
+    integer-valued 1..50 (~2% rank mass per band), probabilities sit
+    at band centers (≥1% rank margin) and KLL at k=4096 has ~0.08%
+    rank error, so the sketch provably returns the exact empirical
+    quantile_disc value.  The WHERE filter is independent of
+    l_quantity, preserving the band structure."""
+    _prep(spark)
+    ctx = _ctx(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    out = ctx.sql(
+        """SELECT l_returnflag,
+                  percentile(l_quantity, 0.25) AS p25,
+                  percentile(l_quantity, 0.49) AS p49,
+                  percentile(l_quantity, 0.75) AS p75,
+                  percentile(l_quantity, 0.99) AS p99
+           FROM lineitem
+           WHERE l_discount > 0.02
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        early_stop=False,
+    )
+    return out.select(
+        "l_returnflag",
+        *[
+            F.round(c).cast("long").alias(c)
+            for c in ["p25", "p49", "p75", "p99"]
+        ],
+    ).orderBy("l_returnflag")
+
+
+SQL_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       CAST(round(quantile_disc(l_quantity, 0.25)) AS BIGINT) AS p25,
+       CAST(round(quantile_disc(l_quantity, 0.49)) AS BIGINT) AS p49,
+       CAST(round(quantile_disc(l_quantity, 0.75)) AS BIGINT) AS p75,
+       CAST(round(quantile_disc(l_quantity, 0.99)) AS BIGINT) AS p99
+FROM lineitem WHERE l_discount > 0.02
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def sql_leftjoin_front_door(spark, sf_dir):
     """Scrambled lineitem LEFT JOIN a FILTERED orders dimension: the
     probe side carries the scramble, so per-row inclusion
@@ -1702,6 +1806,8 @@ def queries() -> dict[str, Query]:
         "approx_highcard_groupby": approx_highcard_groupby,
         "sql_highcard_front_door": sql_highcard_front_door,
         "sql_ratio_front_door": sql_ratio_front_door,
+        "sql_stats_front_door": sql_stats_front_door,
+        "sql_percentile_front_door": sql_percentile_front_door,
         "sql_leftjoin_front_door": sql_leftjoin_front_door,
         "sql_subquery_front_door": sql_subquery_front_door,
         "sql_where_in_front_door": sql_where_in_front_door,
@@ -1754,6 +1860,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_highcard_groupby": HIGHCARD_SQL,
         "sql_highcard_front_door": SQL_HIGHCARD_SQL,
         "sql_ratio_front_door": SQL_RATIO_SQL,
+        "sql_stats_front_door": SQL_STATS_SQL,
+        "sql_percentile_front_door": SQL_PERCENTILE_SQL,
         "sql_leftjoin_front_door": SQL_LEFTJOIN_SQL,
         "sql_subquery_front_door": SQL_SUBQUERY_SQL,
         "sql_where_in_front_door": SQL_WHEREIN_SQL,

@@ -250,7 +250,7 @@ def _block_from_cdf(unit, cdf: list[float], nblocks: int):
 
 def create_fastconverge_scramble(
     df: DataFrame,
-    outlier_column: str,
+    outlier_column: str | None,
     group_column: str | None = None,
     nblocks: int | None = None,
     block_size: int = DEFAULT_BLOCK_SIZE,
@@ -278,15 +278,30 @@ def create_fastconverge_scramble(
     if cnt == 0:
         raise ValueError("cannot scramble an empty table")
     n = nblocks or recommended_block_count(cnt, block_size)
-    stats = df.agg(
-        F.avg(outlier_column).alias("mu"), F.stddev_pop(outlier_column).alias("sd")
-    ).first()
-    mu, sd = float(stats["mu"]), float(stats["sd"] or 0.0)
-    is_outlier = (
-        F.abs(F.col(outlier_column) - F.lit(mu)) > F.lit(3.09 * sd)
-        if sd > 0
-        else F.lit(False)
-    )
+    if outlier_column is None:
+        # group-only stratification (the legacy "stratified sample on
+        # <categorical col>" docs surface): tier 0 is empty, tier 1
+        # still protects small groups.  Stored mu/sd of 0 make the
+        # append path's `sd > 0` guard disable the outlier tier too.
+        mu, sd = 0.0, 0.0
+        is_outlier = F.lit(False)
+    else:
+        stats = df.agg(
+            F.avg(outlier_column).alias("mu"),
+            F.stddev_pop(outlier_column).alias("sd"),
+        ).first()
+        if stats["mu"] is None:
+            raise ValueError(
+                f"outlier column {outlier_column!r} has no numeric "
+                "statistics (non-numeric or all-NULL) — pass a numeric "
+                "column, or None for group-only stratification"
+            )
+        mu, sd = float(stats["mu"]), float(stats["sd"] or 0.0)
+        is_outlier = (
+            F.abs(F.col(outlier_column) - F.lit(mu)) > F.lit(3.09 * sd)
+            if sd > 0
+            else F.lit(False)
+        )
     large_groups: list | None = None
     if group_column is not None:
         large = (

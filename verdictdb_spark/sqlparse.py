@@ -27,6 +27,29 @@ from dataclasses import dataclass, field
 
 AGG_FUNCS = ("sum", "count", "avg", "min", "max", "approx_count_distinct")
 
+# Variance-family aggregates are not executed natively: each call is
+# textually decomposed into arithmetic over sum/count partials (the
+# composite-aggregate machinery), mirroring how the reference rebuilds
+# expressions around decomposed partials.  The reference lists exactly
+# this family as its extension surface
+# (docs/docs/documentation/supported_queries.md "Future supported
+# aggregate functions": var_pop/var_samp/stddev_pop/stddev_samp/
+# covar_pop/covar_samp/corr).  Order matters: longer names first so the
+# alternation never matches a prefix ("var_pop" before nothing else,
+# but "stddev_samp" must beat "stddev").
+STAT_FUNCS = (
+    "var_pop",
+    "var_samp",
+    "variance",
+    "stddev_pop",
+    "stddev_samp",
+    "stddev",
+    "covar_pop",
+    "covar_samp",
+    "corr",
+)
+_TWO_ARG_STATS = {"covar_pop", "covar_samp", "corr"}
+
 
 class Unsupported(Exception):
     """Statement shape outside the rewritable surface — callers fall
@@ -381,6 +404,99 @@ def _parse_from(text: str) -> tuple[list[TableRef], list[JoinClause]]:
 
 
 # --------------------------------------------------------------- SELECT
+def _stat_identity(op: str, args: list[str]) -> str:
+    """The sum/count decomposition of one variance-family call.
+
+    Null semantics follow SQL: single-arg moments inherit them from
+    ``sum``/``count`` skipping nulls; two-arg calls restrict every
+    partial to rows where BOTH inputs are non-null via ``+ 0*other``
+    (``x + 0*y`` is null exactly when x or y is).  Inputs are cast to
+    DOUBLE so integer columns can't overflow in ``sum(x*x)`` (the
+    engines compute these in double anyway).  Tiny negative moment
+    differences from float error are clamped before sqrt; empty /
+    degenerate groups yield NULL via the CASE guards (Spark's non-ANSI
+    x/0 would too, but the guard is explicit)."""
+    if op in _TWO_ARG_STATS:
+        if len(args) != 2:
+            raise Unsupported(f"{op} takes two arguments")
+        x = f"CAST(({args[0]}) AS DOUBLE)"
+        y = f"CAST(({args[1]}) AS DOUBLE)"
+        n = f"count(({x})*({y}))"
+        sx = f"sum(({x}) + 0*({y}))"
+        sy = f"sum(({y}) + 0*({x}))"
+        sxy = f"sum(({x})*({y}))"
+        if op == "covar_pop":
+            return f"CASE WHEN ({n}) > 0 THEN (({sxy}) - ({sx})*({sy})/({n}))/({n}) END"
+        if op == "covar_samp":
+            return (
+                f"CASE WHEN ({n}) > 1 THEN"
+                f" (({sxy}) - ({sx})*({sy})/({n}))/(({n}) - 1) END"
+            )
+        sxx = f"sum(({x})*({x}) + 0*({y}))"
+        syy = f"sum(({y})*({y}) + 0*({x}))"
+        dx = f"(({n})*({sxx}) - ({sx})*({sx}))"
+        dy = f"(({n})*({syy}) - ({sy})*({sy}))"
+        return (
+            f"CASE WHEN ({n}) > 0 AND {dx} > 0 AND {dy} > 0 THEN"
+            f" (({n})*({sxy}) - ({sx})*({sy})) / (sqrt({dx}) * sqrt({dy})) END"
+        )
+    if len(args) != 1:
+        raise Unsupported(f"{op} takes one argument")
+    x = f"CAST(({args[0]}) AS DOUBLE)"
+    n = f"count({x})"
+    s = f"sum({x})"
+    q = f"sum(({x})*({x}))"
+    num = f"greatest(0.0, ({q}) - ({s})*({s})/({n}))"
+    if op == "var_pop":
+        return f"CASE WHEN ({n}) > 0 THEN ({num})/({n}) END"
+    if op in ("var_samp", "variance"):
+        return f"CASE WHEN ({n}) > 1 THEN ({num})/(({n}) - 1) END"
+    if op == "stddev_pop":
+        return f"CASE WHEN ({n}) > 0 THEN sqrt(({num})/({n})) END"
+    # stddev_samp / stddev
+    return f"CASE WHEN ({n}) > 1 THEN sqrt(({num})/(({n}) - 1)) END"
+
+
+def _expand_stats(text: str) -> str:
+    """Replace every variance-family aggregate call in ``text`` with
+    its sum/count decomposition (located on the string-masked text so
+    call text inside literals is never touched).  The result flows
+    through the existing composite-aggregate machinery: each sum/count
+    becomes a (hidden, deduped) partial and the identity is evaluated
+    as a residual over the estimate frame."""
+    masked = _mask(text, keep_depth0_only=False)
+    out, pos = [], 0
+    for m in re.finditer(
+        rf"\b({'|'.join(STAT_FUNCS)})\s*\(", masked, re.IGNORECASE
+    ):
+        if m.start() < pos:
+            continue
+        depth, i = 0, m.end() - 1
+        while i < len(masked):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if i >= len(masked) or depth != 0:
+            raise Unsupported("unbalanced variance-family aggregate call")
+        op = m.group(1).lower()
+        inner = text[m.end() : i]
+        if re.match(r"\s*DISTINCT\s+", inner, re.IGNORECASE):
+            raise Unsupported(f"{op}(DISTINCT ...) is not rewritable")
+        args = [a for a in _split_top_level(inner) if a]
+        out.append(text[pos : m.start()])
+        out.append(f"({_stat_identity(op, args)})")
+        pos = i + 1
+    if not out:
+        return text
+    out.append(text[pos:])
+    return "".join(out)
+
+
 def _find_agg_call(expr: str) -> tuple[str, str, bool] | None:
     """If ``expr`` is exactly one top-level aggregate call, return
     (op, inner_text, distinct); else None."""
@@ -778,6 +894,20 @@ def parse_select(sql: str) -> ParsedSelect:
 
     for item in select_items:
         expr, alias = _split_alias(item)
+        expanded = _expand_stats(expr)
+        if expanded != expr:
+            # variance-family call (possibly inside a larger
+            # expression): the decomposed text is a composite over
+            # sum/count partials; the display name comes from the
+            # ORIGINAL text so `var_pop(x)` shows as var_pop_x
+            name = alias or re.sub(
+                r"\W+", "_", strip_qualifiers(expr, aliases)
+            ).strip("_")[:48].lower()
+            composites.append(
+                (name, rewrite_aggs(strip_qualifiers(expanded, aliases), "SELECT"))
+            )
+            select_order.append(name)
+            continue
         agg = _find_agg_call(expr)
         if agg is not None:
             op, inner, distinct = agg
@@ -839,7 +969,9 @@ def parse_select(sql: str) -> ParsedSelect:
 
     having = None
     if "HAVING" in cl:
-        having = rewrite_aggs(strip_qualifiers(cl["HAVING"], aliases), "HAVING")
+        having = rewrite_aggs(
+            _expand_stats(strip_qualifiers(cl["HAVING"], aliases)), "HAVING"
+        )
 
     order_by: list[OrderItem] = []
     if "ORDER BY" in cl:
@@ -854,7 +986,9 @@ def parse_select(sql: str) -> ParsedSelect:
                 if not (0 <= idx < len(select_order)):
                     raise Unsupported("ORDER BY ordinal out of range")
                 expr = select_order[idx]
-            expr = rewrite_aggs(strip_qualifiers(expr, aliases), "ORDER BY")
+            expr = rewrite_aggs(
+                _expand_stats(strip_qualifiers(expr, aliases)), "ORDER BY"
+            )
             # map group expressions to their output aliases
             for gi in group_items:
                 if norm_expr(expr) == norm_expr(gi.expr):
@@ -882,6 +1016,136 @@ def parse_select(sql: str) -> ParsedSelect:
         where_subqs=where_subqs,
         where=strip_qualifiers(where_text, aliases) if where_text else None,
         having=having,
+        order_by=order_by,
+        limit=limit,
+    )
+
+
+# --------------------------------------------------------- percentile
+# `percentile(col, p)` is the reference's declared percentile surface
+# (supported_queries.md "Future supported aggregate functions":
+# "percentile(col1, p) — p should be within 0.01 and 0.99").  It is
+# answered by a one-pass mergeable KLL sketch (rank-error bounded)
+# rather than the progressive sum/count machinery, so it parses into
+# its own narrow shape: one base table, percentile calls + group
+# columns only.  Returns None (never raises) — the caller treats None
+# as "not this shape" and continues down the fallback chain.
+PCT_FUNCS = ("percentile", "approx_percentile", "percentile_approx")
+
+
+@dataclass
+class PercentileSelect:
+    table: str
+    where: str | None
+    group_cols: list[str]  # source column names, sketch group keys
+    group_out: list[tuple[str, str]]  # (source col, output name)
+    items: list[tuple[str, str, float]]  # (output name, input expr, p)
+    select_order: list[str]
+    order_by: list[OrderItem]
+    limit: int | None
+
+
+def parse_percentile_select(sql: str) -> PercentileSelect | None:
+    try:
+        cl = _clauses(sql)
+        if re.match(r"^\s*DISTINCT\b", cl["SELECT"], re.IGNORECASE):
+            return None
+        tables, joins = _parse_from(cl["FROM"])
+    except Unsupported:
+        return None
+    if joins or len(tables) != 1 or tables[0].subquery is not None:
+        return None
+    if "HAVING" in cl:
+        return None
+    aliases = [tables[0].alias, tables[0].name]
+    where = cl.get("WHERE")
+    if where is not None:
+        where = strip_qualifiers(where, aliases)
+        if re.search(r"\bselect\b", _mask(where, keep_depth0_only=False), re.IGNORECASE):
+            return None  # WHERE subqueries stay on the main planner path
+    group_exprs = [
+        strip_qualifiers(g, aliases)
+        for g in (_split_top_level(cl["GROUP BY"]) if "GROUP BY" in cl else [])
+    ]
+    if any(not re.fullmatch(r"\w+", g) for g in group_exprs):
+        return None  # sketch group keys must be plain columns
+    norm_g = {norm_expr(g) for g in group_exprs}
+    items: list[tuple[str, str, float]] = []
+    group_out: list[tuple[str, str]] = []
+    select_order: list[str] = []
+    for item in _split_top_level(cl["SELECT"]):
+        expr, alias = _split_alias(item)
+        sexpr = strip_qualifiers(expr, aliases)
+        mm = re.match(r"\s*(\w+)\s*\(", sexpr)
+        if mm and mm.group(1).lower() in PCT_FUNCS:
+            masked = _mask(sexpr, keep_depth0_only=False)
+            open_idx = sexpr.index("(", mm.end(1))
+            close = _matching_paren(masked, open_idx)
+            if close < 0 or sexpr[close + 1 :].strip():
+                return None  # percentile embedded in a larger expression
+            args = _split_top_level(sexpr[open_idx + 1 : close])
+            if len(args) != 2:
+                return None
+            col, ptxt = args[0].strip(), args[1].strip()
+            try:
+                p = float(ptxt)
+            except ValueError:
+                return None
+            if not (0.0 < p < 1.0):
+                return None
+            name = alias or re.sub(
+                r"\W+", "_", f"p{round(p * 100):02d}_{col}"
+            ).strip("_").lower()
+            items.append((name, col, p))
+            select_order.append(name)
+        elif norm_expr(sexpr) in norm_g:
+            name = alias or (sexpr if re.fullmatch(r"\w+", sexpr) else None)
+            if name is None:
+                return None
+            group_out.append((sexpr, name))
+            select_order.append(name)
+        else:
+            return None
+    if not items or len(select_order) != len(set(select_order)):
+        return None
+    # GROUP BY columns not selected still shape the sketch groups
+    selected = {norm_expr(g) for g, _ in group_out}
+    group_cols = [g for g, _ in group_out] + [
+        g for g in group_exprs if norm_expr(g) not in selected
+    ]
+
+    order_by: list[OrderItem] = []
+    if "ORDER BY" in cl:
+        for piece in _split_top_level(cl["ORDER BY"]):
+            m = re.search(r"\s+(ASC|DESC)\s*$", piece, re.IGNORECASE)
+            desc = bool(m and m.group(1).upper() == "DESC")
+            expr = strip_qualifiers((piece[: m.start()] if m else piece).strip(), aliases)
+            if re.fullmatch(r"\d+", expr):
+                idx = int(expr) - 1
+                if not (0 <= idx < len(select_order)):
+                    return None
+                expr = select_order[idx]
+            for src, out_name in group_out:
+                if norm_expr(expr) == norm_expr(src):
+                    expr = out_name
+                    break
+            if expr not in select_order:
+                return None
+            order_by.append(OrderItem(expr=expr, desc=desc))
+
+    limit = None
+    if "LIMIT" in cl:
+        if not re.fullmatch(r"\d+", cl["LIMIT"].strip()):
+            return None
+        limit = int(cl["LIMIT"].strip())
+
+    return PercentileSelect(
+        table=tables[0].name,
+        where=where,
+        group_cols=group_cols,
+        group_out=group_out,
+        items=items,
+        select_order=select_order,
         order_by=order_by,
         limit=limit,
     )
