@@ -944,3 +944,44 @@ def test_sql_percentile_all_null_returns_one_null_row(ctx, spark):
         assert len(out) == 1 and out["m"].isna().all()
     finally:
         spark.catalog.dropTempView("allnull_pct")
+
+
+def test_sql_median_alias(ctx, lineitem):
+    out = ctx.sql(
+        "SELECT median(l_quantity) AS m FROM lineitem", early_stop=False
+    ).toPandas()
+    exact = lineitem.agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("m")
+    ).toPandas()
+    # l_quantity 1..50: the 0.50 probe can land ON a band edge, so
+    # allow the two adjacent integer bands
+    assert abs(out["m"].iloc[0] - exact["m"].iloc[0]) <= 1.0
+
+
+def test_nested_inner_one_shot_without_early_stop(ctx, lineitem, monkeypatch):
+    # early_stop=False consumes only the inner's FINAL estimate: the
+    # nested path must run the inner as a single full-prefix span
+    # (schedule "single"), not the refinement ladder
+    import verdictdb_spark.sampling.progressive as prog
+
+    kinds = []
+    orig = prog._schedule
+
+    def spy(nblocks, kind):
+        kinds.append(kind)
+        return orig(nblocks, kind)
+
+    monkeypatch.setattr(prog, "_schedule", spy)
+    out = ctx.sql(
+        "SELECT avg(s) AS a FROM (SELECT l_orderkey, sum(l_quantity) AS s"
+        " FROM lineitem GROUP BY l_orderkey) t",
+        early_stop=False,
+    ).toPandas()
+    assert "single" in kinds
+    exact = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .agg(F.avg("s").alias("a"))
+        .toPandas()
+    )
+    assert out["a"].iloc[0] == pytest.approx(exact["a"].iloc[0], rel=1e-9)

@@ -638,8 +638,12 @@ class VerdictContext:
                 except (Unsupported, AnalysisException):
                     inner_plan = None
                 if inner_plan is not None and not inner_plan.const_false:
+                    # without early stop only the final estimate is
+                    # consumed — one-shot inner run (single scramble)
                     df = self._execute(
-                        inner_plan, early_stop=early_stop, with_errors=False
+                        inner_plan, early_stop=early_stop, with_errors=False,
+                        final_only=not early_stop
+                        and len(inner_plan.scrambles) == 1,
                     )
                 elif inner_plan is None:
                     # depth-3+: the derived table's own FROM may hold
@@ -1061,12 +1065,20 @@ class VerdictContext:
                     if sub_plan is not None and not sub_plan.const_false:
                         try:
                             sub_df = self._execute(
-                                sub_plan, early_stop=early_stop, with_errors=False
+                                sub_plan, early_stop=early_stop,
+                                with_errors=False,
+                                final_only=not early_stop
+                                and len(sub_plan.scrambles) == 1,
                             )
                         except (ValueError, AnalysisException):
                             sub_df = None
                     if sub_df is not None:
-                        dim_at[i] = sub_df
+                        # the estimate frame becomes a broadcast dim in
+                        # the per-block transform: EVERY outer
+                        # refinement step (and the _err pass) would
+                        # otherwise recompute the whole inner —
+                        # materialize once, O(inner groups) rows
+                        dim_at[i] = sub_df.localCheckpoint(eager=True)
                     else:
                         try:
                             dim_at[i] = self.spark.sql(t.subquery)
@@ -1531,9 +1543,17 @@ class VerdictContext:
         return out
 
     # ------------------------------------------------------- execution
-    def _progression(self, plan: _Plan):
+    def _progression(self, plan: _Plan, final_only: bool = False):
         """The single 1/2/N-scramble progressive dispatch shared by
-        ``stream()`` and ``_execute``."""
+        ``stream()`` and ``_execute``.
+
+        ``final_only=True`` (single-scramble path only): the caller
+        consumes just the FINAL estimate — a plan-time nested /
+        derived-table inner under ``early_stop=False``.  Runs one
+        full-prefix span on the Spark engine instead of the refinement
+        ladder: one scan, one partial agg, one lazy estimate — skips
+        the per-step toPandas/localCheckpoint accumulation entirely
+        (measured 11.3s -> ~6s on the 150k-group aggdim inner)."""
         tf = self._transform_of(plan)
         kw = self._exec_kwargs()
         ekw = {
@@ -1544,6 +1564,14 @@ class VerdictContext:
             from .sampling.progressive import progressive_agg
 
             sdf, meta = plan.scrambles[0]
+            if final_only:
+                # spark engine: the one-shot partial frame may hold
+                # O(groups x blocks) rows — never driver pandas
+                return progressive_agg(
+                    sdf, meta, plan.aggs, plan.group_cols,
+                    schedule="single", transform=tf, engine="spark",
+                    engine_threshold=kw["engine_threshold"],
+                )
             return progressive_agg(
                 sdf, meta, plan.aggs, plan.group_cols, transform=tf, **ekw
             )
@@ -1621,7 +1649,8 @@ class VerdictContext:
         return tf
 
     def _execute(
-        self, plan: _Plan, early_stop: bool, with_errors: bool
+        self, plan: _Plan, early_stop: bool, with_errors: bool,
+        final_only: bool = False,
     ) -> DataFrame:
         from .sampling.progressive import fold_progressive
 
@@ -1629,7 +1658,8 @@ class VerdictContext:
         kw = self._exec_kwargs()
         try:
             res = fold_progressive(
-                self._progression(plan), plan.aggs, plan.group_cols,
+                self._progression(plan, final_only=final_only),
+                plan.aggs, plan.group_cols,
                 early_stop=early_stop,
                 value_threshold=kw["value_threshold"],
                 group_threshold=kw["group_threshold"],

@@ -156,6 +156,13 @@ def _schedule(nblocks: int, kind: str) -> list[tuple[int, int]]:
     one-block-per-iteration stream."""
     if kind == "linear":
         return [(i, i) for i in range(nblocks)]
+    if kind == "single":
+        # one span covering every block: the one-shot mode for callers
+        # that consume only the FINAL estimate (nested/derived-table
+        # inners executed at plan time with early_stop=False) — one
+        # scan, one partial aggregation, one estimate, zero
+        # intermediate materializations
+        return [(0, nblocks - 1)]
     spans, lo, step = [], 0, 1
     while lo < nblocks:
         hi = min(lo + step - 1, nblocks - 1)

@@ -1030,7 +1030,7 @@ def parse_select(sql: str) -> ParsedSelect:
 # its own narrow shape: one base table, percentile calls + group
 # columns only.  Returns None (never raises) — the caller treats None
 # as "not this shape" and continues down the fallback chain.
-PCT_FUNCS = ("percentile", "approx_percentile", "percentile_approx")
+PCT_FUNCS = ("percentile", "approx_percentile", "percentile_approx", "median")
 
 
 @dataclass
@@ -1084,15 +1084,21 @@ def parse_percentile_select(sql: str) -> PercentileSelect | None:
             if close < 0 or sexpr[close + 1 :].strip():
                 return None  # percentile embedded in a larger expression
             args = _split_top_level(sexpr[open_idx + 1 : close])
-            if len(args) != 2:
-                return None
-            col, ptxt = args[0].strip(), args[1].strip()
-            try:
-                p = float(ptxt)
-            except ValueError:
-                return None
-            if not (0.0 < p < 1.0):
-                return None
+            if mm.group(1).lower() == "median":
+                # median(x) == percentile(x, 0.5)
+                if len(args) != 1:
+                    return None
+                col, p = args[0].strip(), 0.5
+            else:
+                if len(args) != 2:
+                    return None
+                col, ptxt = args[0].strip(), args[1].strip()
+                try:
+                    p = float(ptxt)
+                except ValueError:
+                    return None
+                if not (0.0 < p < 1.0):
+                    return None
             name = alias or re.sub(
                 r"\W+", "_", f"p{round(p * 100):02d}_{col}"
             ).strip("_").lower()
