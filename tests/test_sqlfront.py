@@ -985,3 +985,120 @@ def test_nested_inner_one_shot_without_early_stop(ctx, lineitem, monkeypatch):
         .toPandas()
     )
     assert out["a"].iloc[0] == pytest.approx(exact["a"].iloc[0], rel=1e-9)
+
+
+def test_union_all_trailing_order_by_limit(ctx, spark, lineitem):
+    # a trailing ORDER BY/LIMIT scopes to the whole union (SQL) —
+    # stripped from the last block and applied to the concatenated
+    # frame instead of falling back to exact.  The view backs the
+    # arity gate (Catalyst analysis of each side).
+    lineitem.createOrReplaceTempView("lineitem")
+    out = ctx.sql(
+        "SELECT l_returnflag AS g, sum(l_quantity) AS s FROM lineitem"
+        " WHERE l_discount > 0.05 GROUP BY l_returnflag"
+        " UNION ALL "
+        "SELECT l_linestatus AS g, sum(l_quantity) AS s FROM lineitem"
+        " WHERE l_discount <= 0.05 GROUP BY l_linestatus"
+        " ORDER BY s DESC LIMIT 3",
+        early_stop=False,
+    ).toPandas()
+    a = (
+        lineitem.where("l_discount > 0.05")
+        .groupBy(F.col("l_returnflag").alias("g"))
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    b = (
+        lineitem.where("l_discount <= 0.05")
+        .groupBy(F.col("l_linestatus").alias("g"))
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    exact = a.union(b).orderBy(F.desc("s")).limit(3).toPandas()
+    assert len(out) == 3
+    assert list(out["g"]) == list(exact["g"])
+    assert out["s"].to_numpy() == pytest.approx(exact["s"].to_numpy())
+    # ordinal + ASC variant
+    out2 = ctx.sql(
+        "SELECT l_returnflag AS g, count(*) AS c FROM lineitem GROUP BY l_returnflag"
+        " UNION ALL "
+        "SELECT l_linestatus AS g, count(*) AS c FROM lineitem GROUP BY l_linestatus"
+        " ORDER BY 2 LIMIT 2",
+        early_stop=False,
+    ).toPandas()
+    spark.catalog.dropTempView("lineitem")
+    assert len(out2) == 2 and out2["c"].iloc[0] <= out2["c"].iloc[1]
+
+
+def test_union_all_mid_block_order_still_falls_back(ctx, spark, lineitem):
+    # ORDER BY on a NON-last side is a Spark parse error — the front
+    # door must not fabricate an answer (exact fallback raises too)
+    from pyspark.errors import ParseException
+
+    lineitem.createOrReplaceTempView("lineitem")
+    try:
+        with pytest.raises(ParseException):
+            ctx.sql(
+                "SELECT count(*) AS c FROM lineitem ORDER BY c"
+                " UNION ALL SELECT count(*) AS c FROM lineitem"
+            ).collect()
+    finally:
+        spark.catalog.dropTempView("lineitem")
+
+
+def test_describe_scramble_ddl(ctx):
+    out = ctx.sql("DESCRIBE SCRAMBLE lineitem").toPandas()
+    props = dict(zip(out["property"], out["value"]))
+    assert props["original_table"] == "lineitem"
+    assert props["method"] == "uniform" and props["nblocks"] == "6"
+    with pytest.raises(KeyError):
+        ctx.sql("DESCRIBE SCRAMBLE no_such_scramble")
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_stat_identities_randomized(spark, tmp_path_factory, seed):
+    # property-style: random data with nulls in both columns — the
+    # sum/count decomposition must reproduce Spark's native aggregates
+    # at full coverage for every function in the family
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    x = rng.normal(50, 12, n)
+    y = 3 * x + rng.normal(0, 20, n)
+    xm = [None if rng.random() < 0.08 else float(v) for v in x]
+    ym = [None if rng.random() < 0.08 else float(v) for v in y]
+    g = [str(int(v)) for v in rng.integers(0, 3, n)]
+    pdf = pd.DataFrame({"g": g, "x": xm, "y": ym})
+    df = spark.createDataFrame(pdf)
+    c = VerdictContext(
+        spark, str(tmp_path_factory.mktemp(f"statprop{seed}"))
+    )
+    c.create_scramble("randtab", df, method="uniform", nblocks=3, seed=seed)
+    out = (
+        c.sql(
+            "SELECT g, var_pop(x) AS a, var_samp(x) AS b,"
+            " stddev_pop(y) AS c, stddev_samp(y) AS d,"
+            " covar_pop(x, y) AS e, covar_samp(x, y) AS f,"
+            " corr(x, y) AS h FROM randtab GROUP BY g",
+            early_stop=False,
+        )
+        .orderBy("g")
+        .toPandas()
+    )
+    exact = (
+        df.groupBy("g")
+        .agg(
+            F.var_pop("x").alias("a"),
+            F.var_samp("x").alias("b"),
+            F.stddev_pop("y").alias("c"),
+            F.stddev_samp("y").alias("d"),
+            F.covar_pop("x", "y").alias("e"),
+            F.covar_samp("x", "y").alias("f"),
+            F.corr("x", "y").alias("h"),
+        )
+        .orderBy("g")
+        .toPandas()
+    )
+    for col in ["a", "b", "c", "d", "e", "f", "h"]:
+        assert out[col].to_numpy() == pytest.approx(
+            exact[col].to_numpy(), rel=1e-7
+        ), (col, seed)

@@ -58,6 +58,7 @@ from .sqlparse import (
     Unsupported,
     _clauses,
     _mask,
+    _split_top_level,
     from_subquery_spans,
     inline_ctes,
     parse_select,
@@ -95,6 +96,13 @@ _CREATE_RE = re.compile(
 )
 _DROP_ALL_RE = re.compile(
     r"^\s*DROP\s+ALL\s+SCRAMBLES?\s+(?P<orig>[\w\.]+)\s*;?\s*$", re.IGNORECASE
+)
+# DESCRIBE for a scramble (the reference docs' `describe table`
+# applied to the sample artifact); plain DESCRIBE <table> passes
+# through to Spark untouched
+_DESCRIBE_SCRAMBLE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:SCRAMBLE|SAMPLE)\s+(?P<name>[\w\.]+)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DROP_RE = re.compile(
     r"^\s*DROP\s+SCRAMBLE\s+(?P<name>[\w\.]+)(?:\s+ON\s+(?P<orig>[\w\.]+))?\s*;?\s*$",
@@ -506,9 +514,11 @@ class VerdictContext:
         positionally.  UNION ALL is bag concatenation, so per-side
         estimates compose without interaction; UNION DISTINCT /
         EXCEPT / INTERSECT are NOT taken (dedup across approximate
-        estimates is ill-defined) and neither is a trailing ORDER
-        BY/LIMIT (it scopes to the whole union) — those fall back to
-        exact.  Mixed numeric column types across sides (approximate
+        estimates is ill-defined) — those fall back to exact.  A
+        trailing ORDER BY/LIMIT (which scopes to the whole union in
+        SQL) is stripped from the last block and applied to the
+        concatenated frame.  Mixed numeric column types across sides
+        (approximate
         sides estimate in double, exact sides keep bigint) widen to
         double, matching SQL union type promotion."""
         try:
@@ -527,11 +537,30 @@ class VerdictContext:
         parts.append(query[last:].strip())
         if any(not re.match(r"^\s*select\b", p, re.IGNORECASE) for p in parts):
             return None  # parenthesized blocks etc.
+        # a trailing ORDER BY/LIMIT in the LAST block scopes to the
+        # whole union in SQL (a side can carry its own only inside
+        # parens, which this path rejects) — strip it here and apply
+        # it to the concatenated frame below
+        tail_order: str | None = None
+        tail_limit: int | None = None
+        mo = re.search(r"\b(ORDER\s+BY|LIMIT)\b", _mask(parts[-1]), re.IGNORECASE)
+        if mo:
+            tail = parts[-1][mo.start() :]
+            mt = re.match(
+                r"^(?:ORDER\s+BY\s+(?P<ob>[\s\S]+?))?\s*"
+                r"(?:\bLIMIT\s+(?P<lim>\d+))?\s*;?\s*$",
+                tail,
+                re.IGNORECASE,
+            )
+            if not mt or (mt.group("ob") is None and mt.group("lim") is None):
+                return None  # unparseable tail — exact fallback
+            parts[-1] = parts[-1][: mo.start()].rstrip()
+            tail_order = mt.group("ob")
+            tail_limit = int(mt.group("lim")) if mt.group("lim") else None
         for p in parts:
-            # a last-side ORDER BY/LIMIT scopes to the whole union; on
-            # any other side it is a Spark parse error — either way the
-            # exact fallback is the honest answer (never fabricate a
-            # per-side result for SQL Spark itself would reject)
+            # ORDER BY/LIMIT on a NON-last side is a Spark parse error
+            # — the exact fallback is the honest answer (never
+            # fabricate a result for SQL Spark itself would reject)
             if re.search(r"\b(ORDER\s+BY|LIMIT)\b", _mask(p), re.IGNORECASE):
                 return None
         try:
@@ -584,6 +613,27 @@ class VerdictContext:
             out = aligned[0]
             for f in aligned[1:]:
                 out = out.union(f)
+            if tail_order is not None:
+                items = []
+                for piece in _split_top_level(tail_order):
+                    m2 = re.search(r"\s+(ASC|DESC)\s*$", piece, re.IGNORECASE)
+                    desc = bool(m2 and m2.group(1).upper() == "DESC")
+                    expr = (piece[: m2.start()] if m2 else piece).strip()
+                    if re.fullmatch(r"\d+", expr):
+                        idx = int(expr) - 1
+                        if not (0 <= idx < ncols):
+                            return None
+                        expr = base.columns[idx]
+                    if expr not in base.columns:
+                        # union-scoped ORDER BY may only reference
+                        # output columns — anything else, exact fallback
+                        return None
+                    items.append(
+                        F.col(expr).desc() if desc else F.col(expr).asc()
+                    )
+                out = out.orderBy(*items)
+            if tail_limit is not None:
+                out = out.limit(tail_limit)
             return out
         except (ValueError, AnalysisException):
             return None  # a side Spark/the engine rejects — exact fallback
@@ -826,6 +876,48 @@ class VerdictContext:
             return spark.createDataFrame(
                 [(name, orig, "exists" if exists else "created")],
                 schema="scramble string, original_table string, status string",
+            )
+
+        m = _DESCRIBE_SCRAMBLE_RE.match(query)
+        if m:
+            name = re.sub(r"[^\w]", "_", m.group("name"))
+            entry = next(
+                (
+                    e
+                    for e in self.metastore.show("scramble")
+                    if os.path.basename(e.artifact_path) == name
+                    or e.source_table == m.group("name")
+                ),
+                None,
+            )
+            if entry is None:
+                raise KeyError(f"no scramble named {m.group('name')!r}")
+            meta = ScrambleMeta.from_json(entry.meta_json)
+            raw = [
+                ("scramble", os.path.basename(entry.artifact_path)),
+                ("original_table", entry.source_table),
+                ("method", meta.method),
+                ("nblocks", meta.nblocks),
+                ("seed", meta.seed),
+                ("original_count", meta.original_count),
+                ("hash_column", getattr(meta, "hash_column", None)),
+                ("path", entry.artifact_path),
+            ]
+            rows = [(k, str(v)) for k, v in raw if v is not None]
+            if meta.method == "fastconverge" and meta.fc_stats:
+                st = meta.fc_stats
+                rows += [
+                    ("outlier_column", str(st.get("outlier_column"))),
+                    ("group_column", str(st.get("group_column"))),
+                    ("outlier_mu", str(st.get("mu"))),
+                    ("outlier_sd", str(st.get("sd"))),
+                    (
+                        "n_large_groups",
+                        str(len(st.get("large_groups") or [])),
+                    ),
+                ]
+            return spark.createDataFrame(
+                rows, schema="property string, value string"
             )
 
         m = _CREATE_SAMPLE_RE.match(query)
