@@ -398,17 +398,23 @@ def test_union_distinct_falls_back_exact(ctx, spark, lineitem, orders):
     assert got == want
 
 
-def test_union_all_trailing_order_by_falls_back(ctx, spark, lineitem, orders):
+def test_union_all_trailing_order_by_handled(ctx, spark, lineitem, orders):
+    # updated: a trailing ORDER BY/LIMIT scopes to the whole union and
+    # is now handled by _try_union (stripped from the last block,
+    # applied to the concatenated frame) instead of falling back
     q = (
         "SELECT l_returnflag AS k, count(*) AS c FROM lineitem GROUP BY l_returnflag "
         "UNION ALL "
         "SELECT o_orderstatus AS k, count(*) AS c FROM orders GROUP BY o_orderstatus "
         "ORDER BY c LIMIT 3"
     )
-    assert ctx._try_union(q, early_stop=False) is None
-    got = [(r["k"], r["c"]) for r in ctx.sql(q).collect()]
+    handled = ctx._try_union(q, early_stop=False)
+    assert handled is not None
+    got = [(r["k"], r["c"]) for r in ctx.sql(q, early_stop=False).collect()]
     want = [(r["k"], r["c"]) for r in spark.sql(q).collect()]
-    assert got == want
+    assert [k for k, _ in got] == [k for k, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w)
 
 
 def test_stream_nested_refines_to_exact(ctx, spark, lineitem):

@@ -1102,3 +1102,36 @@ def test_stat_identities_randomized(spark, tmp_path_factory, seed):
         assert out[col].to_numpy() == pytest.approx(
             exact[col].to_numpy(), rel=1e-7
         ), (col, seed)
+
+
+def test_stat_aggregates_over_join(jctx, lineitem, orders, spark):
+    # variance-family composites over a TWO-SCRAMBLE ripple-cube join
+    # (jctx registers scrambles for both sides): the hidden sum/count
+    # partials decompose through the join increments and the identity
+    # evaluates over the join's estimate frame — full coverage == exact
+    orders.createOrReplaceTempView("orders")
+    try:
+        out = (
+            jctx.sql(
+                "SELECT o_orderstatus, stddev_pop(l_quantity) AS sd,"
+                " corr(l_quantity, l_extendedprice) AS cr"
+                " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+                " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+                early_stop=False,
+            )
+            .toPandas()
+        )
+    finally:
+        spark.catalog.dropTempView("orders")
+    exact = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.stddev_pop("l_quantity").alias("sd"),
+            F.corr("l_quantity", "l_extendedprice").alias("cr"),
+        )
+        .orderBy("o_orderstatus")
+        .toPandas()
+    )
+    assert out["sd"].to_numpy() == pytest.approx(exact["sd"].to_numpy(), rel=1e-9)
+    assert out["cr"].to_numpy() == pytest.approx(exact["cr"].to_numpy(), rel=1e-9)
