@@ -1135,3 +1135,46 @@ def test_stat_aggregates_over_join(jctx, lineitem, orders, spark):
     )
     assert out["sd"].to_numpy() == pytest.approx(exact["sd"].to_numpy(), rel=1e-9)
     assert out["cr"].to_numpy() == pytest.approx(exact["cr"].to_numpy(), rel=1e-9)
+
+
+def test_stream_percentile_refines_to_band_exact(ctx, lineitem):
+    # STREAM of a percentile-only SELECT: per-block-span KLL partials
+    # merge progressively; the final step reproduces the exact
+    # integer-band value (same oracle design as the one-shot path)
+    steps = list(
+        ctx.stream(
+            "SELECT l_returnflag AS f, percentile(l_quantity, 0.25) AS p25"
+            " FROM lineitem GROUP BY l_returnflag"
+        )
+    )
+    assert len(steps) > 1
+    assert steps[0].coverage < steps[-1].coverage == pytest.approx(1.0)
+    final = steps[-1].estimates.sort_values("f").reset_index(drop=True)
+    exact = (
+        lineitem.groupBy(F.col("l_returnflag").alias("f"))
+        .agg(F.expr("percentile(l_quantity, 0.25)").alias("p25"))
+        .orderBy("f")
+        .toPandas()
+    )
+    assert final["p25"].round().tolist() == exact["p25"].round().tolist()
+    assert list(final.columns) == ["f", "p25"]  # group alias applied
+
+
+def test_stream_percentile_requires_uniform_scramble(spark, tmp_path, orders):
+    # a hash-scramble block prefix is NOT a uniform row sample — the
+    # percentile stream refuses and the statement raises Unsupported
+    c = VerdictContext(spark, str(tmp_path))
+    c.create_scramble("orders", orders, method="hash", column="o_custkey", nblocks=4)
+    with pytest.raises(Unsupported):
+        list(c.stream("SELECT percentile(o_totalprice, 0.5) AS m FROM orders"))
+
+
+def test_progressive_quantiles_rejects_nonuniform_meta(spark, tmp_path, lineitem):
+    from verdictdb_spark.operators.quantile import progressive_quantiles
+
+    c = VerdictContext(spark, str(tmp_path))
+    sdf, meta = c.create_scramble(
+        "lineitem", lineitem, method="hash", column="l_orderkey", nblocks=4
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        next(iter(progressive_quantiles(sdf, meta, "l_quantity", [0.5])))

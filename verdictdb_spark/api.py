@@ -1485,12 +1485,20 @@ class VerdictContext:
         try:
             plan = self._plan(query)
         except Unsupported:
+            pgen = self._stream_percentile(query)
+            if pgen is not None:
+                yield from pgen
+                return
             gen = self._stream_nested(query)
             if gen is None:
                 raise
             yield from gen
             return
         if plan is None:
+            pgen = self._stream_percentile(query)
+            if pgen is not None:
+                yield from pgen
+                return
             gen = self._stream_nested(query)
             if gen is not None:
                 yield from gen
@@ -1512,6 +1520,60 @@ class VerdictContext:
                 yield res
         finally:
             plan.release()
+
+    def _stream_percentile(self, query: str):
+        """Progressive iterator for a percentile-only SELECT over a
+        UNIFORM scramble: per-block-span KLL partials merge into the
+        accumulated per-group states and each step yields refined
+        quantiles (``operators.quantile.progressive_quantiles``).
+        Returns None when the statement is not this shape — the
+        stream() fallback chain continues.  Requires a single input
+        expression (one sketch per step); ORDER BY/LIMIT are
+        final-result decorations and are not applied per step,
+        matching stream()'s contract for aggregates."""
+        from .sqlparse import parse_percentile_select
+
+        p = parse_percentile_select(query)
+        if p is None:
+            return None
+        cols = {c for _, c, _ in p.items}
+        if len(cols) != 1:
+            return None
+        try:
+            sdf, meta = self.load_scramble_for(p.table)
+        except Exception:
+            return None
+        if meta.method != "uniform":
+            return None
+        col = next(iter(cols))
+        names = [n for n, _, _ in p.items]
+        probs = [pr for _, _, pr in p.items]
+        df = sdf.where(F.expr(p.where)) if p.where else sdf
+        k = int(self.conf.get("verdictdb.percentile_k", "4096"))
+        from .operators.quantile import progressive_quantiles
+        from .sampling.progressive import ProgressiveResult
+
+        renames = [(s, n) for s, n in p.group_out if n != s]
+
+        def run():
+            for res in progressive_quantiles(
+                df, meta, F.expr(col).cast("double"), probs,
+                group_by=p.group_cols, names=names, k=k,
+            ):
+                out = res.estimates_sdf
+                for s, n in renames:
+                    out = out.withColumnRenamed(s, n)
+                if renames:
+                    res = ProgressiveResult(
+                        estimates_sdf=out,
+                        coverage=res.coverage,
+                        blocks_covered=res.blocks_covered,
+                        iteration=res.iteration,
+                        is_exact=res.is_exact,
+                    )
+                yield res
+
+        return run()
 
     def _stream_nested(self, query: str):
         """Progressive iterator for a NESTED-aggregation statement: the
