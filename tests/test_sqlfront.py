@@ -1178,3 +1178,38 @@ def test_progressive_quantiles_rejects_nonuniform_meta(spark, tmp_path, lineitem
     )
     with pytest.raises(ValueError, match="uniform"):
         next(iter(progressive_quantiles(sdf, meta, "l_quantity", [0.5])))
+
+
+def test_sql_percentile_early_stops_on_uniform_scramble(
+    spark, tmp_path, lineitem, monkeypatch
+):
+    # early_stop=True over a uniform scramble: the KLL sketch builds
+    # progressively and stops when consecutive quantile frames agree —
+    # the sampling speedup — while still landing in the right band
+    import verdictdb_spark.api as api_mod
+    import verdictdb_spark.sampling.progressive as prog
+
+    calls = []
+    orig = prog.converged
+
+    def spy(prev, cur, *a, **k):
+        r = orig(prev, cur, *a, **k)
+        calls.append(r)
+        return r
+
+    monkeypatch.setattr(api_mod, "converged", spy, raising=False)
+    monkeypatch.setattr(prog, "converged", spy)
+    c = VerdictContext(spark, str(tmp_path))
+    c.create_scramble("li_es", lineitem, method="uniform", nblocks=16, seed=3)
+    out = c.sql(
+        "SELECT l_returnflag, percentile(l_quantity, 0.49) AS med"
+        " FROM li_es GROUP BY l_returnflag"
+    ).toPandas()
+    assert any(calls), "the stop rule should fire before full coverage"
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.49)").alias("x"))
+        .toPandas()
+    )
+    m = out.merge(exact, on="l_returnflag")
+    assert (abs(m["med"] - m["x"]) <= 1).all()

@@ -453,7 +453,7 @@ class VerdictContext:
             # statement may be outside the rewritable shape while a
             # FROM derived table inside it is itself a rewritable
             # aggregate over a scramble
-            pct = self._try_percentile(query)
+            pct = self._try_percentile(query, early_stop=early_stop)
             if pct is not None:
                 return pct
             nested = self._try_nested(query, early_stop=early_stop)
@@ -473,7 +473,7 @@ class VerdictContext:
             # progressive scan repeated for nothing)
             return self.spark.sql(query)
         if plan is None:
-            pct = self._try_percentile(query)
+            pct = self._try_percentile(query, early_stop=early_stop)
             if pct is not None:
                 return pct
             nested = self._try_nested(query, early_stop=early_stop)
@@ -731,24 +731,30 @@ class VerdictContext:
             # views registered (metadata only; no data pinned)
 
     # ------------------------------------------------------- percentile
-    def _try_percentile(self, query: str) -> DataFrame | None:
+    def _try_percentile(
+        self, query: str, early_stop: bool = True
+    ) -> DataFrame | None:
         """``SELECT [g,] percentile(x, p) ... FROM t [WHERE] [GROUP BY
         g] [ORDER BY] [LIMIT]`` — the reference's declared percentile
         surface (supported_queries.md "percentile(col1, p) — p should
-        be within 0.01 and 0.99").  Answered by one mergeable KLL
-        sketch pass per distinct input expression (map-side partials +
-        log-tree merge, rank-error ~O(1/k)), not the progressive
-        sum/count machinery: quantiles are not H-T-scalable sums, but
-        a single sketch scan is already the approximate fast path.
-        Returns None for any other shape (fallback chain continues)."""
+        be within 0.01 and 0.99").  Answered by mergeable KLL sketches
+        (map-side partials + log-tree merge, rank-error ~O(1/k)), not
+        the progressive sum/count machinery: quantiles are not
+        H-T-scalable sums.  With ``early_stop=True`` over a UNIFORM
+        scramble (single input expression), the sketch builds
+        PROGRESSIVELY per block span and stops when consecutive
+        quantile frames agree within the configured thresholds — the
+        sampling speedup the engine exists for; otherwise one full
+        sketch pass per distinct input expression.  Returns None for
+        any other shape (fallback chain continues)."""
         from .sqlparse import parse_percentile_select
 
         p = parse_percentile_select(query)
         if p is None:
             return None
-        df = None
+        df, meta = None, None
         try:
-            df, _meta = self.load_scramble_for(p.table)
+            df, meta = self.load_scramble_for(p.table)
         except Exception:
             try:
                 df = self.spark.table(p.table)
@@ -765,25 +771,35 @@ class VerdictContext:
             by_col: dict[str, list[tuple[str, float]]] = {}
             for name, col, prob in p.items:
                 by_col.setdefault(col, []).append((name, prob))
-            pieces = [
-                approx_quantiles_wide(
-                    df,
-                    F.expr(col).cast("double"),
-                    [pr for _, pr in pairs],
-                    group_by=p.group_cols,
-                    names=[n for n, _ in pairs],
-                    method="kll",
-                    k=k,
-                )
-                for col, pairs in by_col.items()
-            ]
-            out = pieces[0]
-            for piece in pieces[1:]:
-                out = (
-                    out.join(piece, on=p.group_cols)
-                    if p.group_cols
-                    else out.crossJoin(piece)
-                )
+            out = None
+            if (
+                early_stop
+                and meta is not None
+                and meta.method == "uniform"
+                and meta.nblocks > 1
+                and len(by_col) == 1
+            ):
+                out = self._percentile_early_stop(df, meta, p, k)
+            if out is None:
+                pieces = [
+                    approx_quantiles_wide(
+                        df,
+                        F.expr(col).cast("double"),
+                        [pr for _, pr in pairs],
+                        group_by=p.group_cols,
+                        names=[n for n, _ in pairs],
+                        method="kll",
+                        k=k,
+                    )
+                    for col, pairs in by_col.items()
+                ]
+                out = pieces[0]
+                for piece in pieces[1:]:
+                    out = (
+                        out.join(piece, on=p.group_cols)
+                        if p.group_cols
+                        else out.crossJoin(piece)
+                    )
             if not p.group_cols:
                 # an ungrouped aggregate query always returns ONE row;
                 # a sketch over zero non-null values returns none —
@@ -820,6 +836,33 @@ class VerdictContext:
             if self._debug():
                 raise
             return None
+
+    def _percentile_early_stop(self, df, meta, p, k: int):
+        """Progressive percentile with the difference-based stop rule:
+        refine per block span and stop when consecutive quantile
+        frames agree (same `converged` rule as the sum/count engine).
+        Returns the stopping step's estimate frame, or None if the
+        progression produced nothing (caller falls back to one-shot)."""
+        from .operators.quantile import progressive_quantiles
+        from .sampling.progressive import converged
+
+        kw = self._exec_kwargs()
+        names = [n for n, _, _ in p.items]
+        probs = [pr for _, _, pr in p.items]
+        col = p.items[0][1]
+        prev, last = None, None
+        for res in progressive_quantiles(
+            df, meta, F.expr(col).cast("double"), probs,
+            group_by=p.group_cols, names=names, k=k,
+        ):
+            cur = res.estimates  # O(groups) rows
+            if prev is not None and converged(
+                prev, cur, p.group_cols, names,
+                kw["value_threshold"], kw["group_threshold"],
+            ):
+                return res.estimates_sdf
+            prev, last = cur, res
+        return last.estimates_sdf if last is not None else None
 
     # ------------------------------------------------------------- DDL
     def _ddl(self, query: str) -> DataFrame | None:
