@@ -1402,6 +1402,10 @@ def sql_unionall_front_door(spark, sf_dir):
     ctx = _ctx(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem")
     ctx.create_scramble("lineitem", li, method="uniform", nblocks=10, seed=7)
+    # BOTH views registered here: the union arity gate asks Catalyst to
+    # analyze each side, so this query must not depend on an earlier
+    # registry entry having registered `lineitem` (order-independence)
+    li.createOrReplaceTempView("lineitem")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     out = ctx.sql(
         """SELECT l_returnflag AS k, count(*) AS cnt FROM lineitem
