@@ -69,7 +69,7 @@ from .sqlparse import (
 _SHOW_RE = re.compile(
     # SHOW SAMPLES is the reference docs' legacy spelling for the same
     # listing (supported_queries.md "show samples [for db]")
-    r"^\s*SHOW\s+(?:SCRAMBLES|SAMPLES)(?:\s+FOR\s+[\w\.]+)?\s*;?\s*$",
+    r"^\s*SHOW\s+(?:SCRAMBLES|SAMPLES)(?:\s+FOR\s+(?P<qual>[\w\.]+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 # legacy sample DDL from the reference docs (supported_queries.md
@@ -301,7 +301,16 @@ class VerdictContext:
     ) -> ProgressiveResult:
         """The automatic-substitution front door: query the ORIGINAL
         table name; the registered scramble is substituted and the
-        progressive plan runs with accuracy-driven early stop."""
+        progressive plan runs with accuracy-driven early stop.
+
+        ``early_stop=False`` consumes only the final full-coverage
+        estimate, so (unless the caller pins schedule/engine) it runs
+        as ONE full-prefix span on the Spark estimate engine instead
+        of the refinement ladder — same partials, same estimator,
+        one scan."""
+        if not early_stop:
+            kwargs.setdefault("schedule", "single")
+            kwargs.setdefault("engine", "spark")
         sdf, meta = self.load_scramble_for(source_table)
         tf = transform
         if where is not None:
@@ -330,9 +339,14 @@ class VerdictContext:
         table names are substituted with their registered scrambles and
         the block plane is covered progressively (the reference's
         ripple/hyper-table cubes, ``ola/HyperTableCube.java:69-106``).
-        ``on`` is a list of (table1_col, table2_col) equi-join pairs."""
+        ``on`` is a list of (table1_col, table2_col) equi-join pairs.
+        ``early_stop=False`` runs the whole block plane as one join
+        (see :meth:`approx`)."""
         from .sampling.join import approx_join_agg
 
+        if not early_stop:
+            kwargs.setdefault("schedule", "single")
+            kwargs.setdefault("engine", "spark")
         s1, m1 = self.load_scramble_for(table1)
         s2, m2 = self.load_scramble_for(table2)
         return approx_join_agg(
@@ -353,9 +367,13 @@ class VerdictContext:
         """Aggregates over a CHAIN JOIN of N scrambles (the full
         d-dimensional hyper-table cube, ``ola/HyperTableCube.java:
         69-106``).  ``on[i]`` links ``tables[i+1]`` to any earlier
-        table in the chain."""
+        table in the chain.  ``early_stop=False`` runs the whole
+        hypercube as one chain join (see :meth:`approx`)."""
         from .sampling.join import approx_multi_join_agg
 
+        if not early_stop:
+            kwargs.setdefault("schedule", "single")
+            kwargs.setdefault("engine", "spark")
         scrambles = [self.load_scramble_for(t) for t in tables]
         return approx_multi_join_agg(
             scrambles, on, aggs, group_by,
@@ -486,7 +504,13 @@ class VerdictContext:
             # execution, no progressive scan
             return self.spark.sql(query)
         try:
-            return self._execute(plan, early_stop=early_stop, with_errors=with_errors)
+            # early_stop=False callers consume only the final frame —
+            # one-shot span instead of the refinement ladder (same
+            # estimator over the same per-(tier, block) partials)
+            return self._execute(
+                plan, early_stop=early_stop, with_errors=with_errors,
+                final_only=not early_stop,
+            )
         except (ValueError, AnalysisException):
             # the registered scramble can't legally answer this shape
             # (e.g. COUNT DISTINCT on a uniform scramble), or an
@@ -689,11 +713,10 @@ class VerdictContext:
                     inner_plan = None
                 if inner_plan is not None and not inner_plan.const_false:
                     # without early stop only the final estimate is
-                    # consumed — one-shot inner run (single scramble)
+                    # consumed — one-shot inner run
                     df = self._execute(
                         inner_plan, early_stop=early_stop, with_errors=False,
-                        final_only=not early_stop
-                        and len(inner_plan.scrambles) == 1,
+                        final_only=not early_stop,
                     )
                 elif inner_plan is None:
                     # depth-3+: the derived table's own FROM may hold
@@ -752,14 +775,14 @@ class VerdictContext:
         p = parse_percentile_select(query)
         if p is None:
             return None
-        df, meta = None, None
         try:
             df, meta = self.load_scramble_for(p.table)
         except Exception:
-            try:
-                df = self.spark.table(p.table)
-            except Exception:
-                return None
+            # no registered scramble: keep the exact-fallback contract
+            # (Spark answers percentile()/median() natively and exactly
+            # for plain tables — a KLL sketch would silently trade
+            # accuracy with no sampling speedup to justify it)
+            return None
         from .operators.quantile import approx_quantiles_wide
 
         k = int(self.conf.get("verdictdb.percentile_k", "4096"))
@@ -793,13 +816,28 @@ class VerdictContext:
                     )
                     for col, pairs in by_col.items()
                 ]
-                out = pieces[0]
-                for piece in pieces[1:]:
-                    out = (
-                        out.join(piece, on=p.group_cols)
-                        if p.group_cols
-                        else out.crossJoin(piece)
-                    )
+                if p.group_cols:
+                    out = pieces[0]
+                    for piece in pieces[1:]:
+                        # FULL outer: a group whose values are all NULL
+                        # for one percentile column has no sketch row
+                        # for that piece — SQL keeps the group with a
+                        # NULL percentile, so an inner join would
+                        # wrongly drop it
+                        out = out.join(piece, on=p.group_cols, how="full")
+                elif len(pieces) == 1:
+                    out = pieces[0]
+                else:
+                    # ungrouped multi-expression: left-join every piece
+                    # onto one literal row so a 0-row piece contributes
+                    # NULL instead of emptying the whole result
+                    out = self.spark.range(1).select(F.lit(1).alias("_vdb_one"))
+                    for piece in pieces:
+                        out = out.join(
+                            piece.withColumn("_vdb_one", F.lit(1)),
+                            "_vdb_one", "left",
+                        )
+                    out = out.drop("_vdb_one")
             if not p.group_cols:
                 # an ungrouped aggregate query always returns ONE row;
                 # a sketch over zero non-null values returns none —
@@ -856,6 +894,15 @@ class VerdictContext:
             group_by=p.group_cols, names=names, k=k,
         ):
             cur = res.estimates  # O(groups) rows
+            # progressive_quantiles yields even when the accumulated
+            # sketch frame is still empty (unlike progressive_agg's
+            # have_rows skip): an empty or all-NaN frame must not arm
+            # the stop rule — two such frames "agree" vacuously, and a
+            # selective WHERE whose matches live in later blocks would
+            # return an empty/NULL result despite matching rows
+            if not len(cur) or cur[names].isna().all().all():
+                last = res
+                continue
             if prev is not None and converged(
                 prev, cur, p.group_cols, names,
                 kw["value_threshold"], kw["group_threshold"],
@@ -870,9 +917,18 @@ class VerdictContext:
         a status/result DataFrame, or None when the statement is not
         scramble DDL."""
         spark = self.spark
-        if _SHOW_RE.match(query):
+        m = _SHOW_RE.match(query)
+        if m:
+            # FOR <db|table> filters the listing (a discarded qualifier
+            # would return every scramble — silently wrong)
+            qual = m.group("qual")
             rows = []
             for e in self.metastore.show("scramble"):
+                if qual is not None and not (
+                    e.source_table == qual
+                    or e.source_table.startswith(qual + ".")
+                ):
+                    continue
                 try:
                     meta = ScrambleMeta.from_json(e.meta_json)
                     method, nblocks = meta.method, meta.nblocks
@@ -1202,8 +1258,7 @@ class VerdictContext:
                             sub_df = self._execute(
                                 sub_plan, early_stop=early_stop,
                                 with_errors=False,
-                                final_only=not early_stop
-                                and len(sub_plan.scrambles) == 1,
+                                final_only=not early_stop,
                             )
                         except (ValueError, AnalysisException):
                             sub_df = None
@@ -1744,31 +1799,31 @@ class VerdictContext:
         """The single 1/2/N-scramble progressive dispatch shared by
         ``stream()`` and ``_execute``.
 
-        ``final_only=True`` (single-scramble path only): the caller
-        consumes just the FINAL estimate — a plan-time nested /
-        derived-table inner under ``early_stop=False``.  Runs one
-        full-prefix span on the Spark engine instead of the refinement
-        ladder: one scan, one partial agg, one lazy estimate — skips
-        the per-step toPandas/localCheckpoint accumulation entirely
-        (measured 11.3s -> ~6s on the 150k-group aggdim inner)."""
+        ``final_only=True``: the caller consumes just the FINAL
+        estimate — any ``early_stop=False`` execution whose consumer
+        never sees the intermediate steps (the top-level ``sql()``
+        path and plan-time nested / derived-table inners).  Runs ONE
+        full-prefix span (full block plane / hypercube for scramble
+        joins) on the Spark engine instead of the refinement ladder:
+        one scan+join, one partial agg, one lazy estimate — skips the
+        per-step toPandas/localCheckpoint accumulation entirely
+        (measured 11.3s -> ~6s on the 150k-group aggdim inner; r6:
+        the whole early_stop=False front door).  Errors stay
+        computable: the single span still yields per-(tier, block)
+        partials, so the subsample ``_err`` closed form is unchanged.
+        The Spark engine is forced because a one-shot partial frame
+        may hold O(groups x blocks) rows — never driver pandas."""
         tf = self._transform_of(plan)
         kw = self._exec_kwargs()
-        ekw = {
-            "engine": kw["engine"],
-            "engine_threshold": kw["engine_threshold"],
-        }
+        ekw = (
+            {"engine": "spark", "schedule": "single"}
+            if final_only
+            else {"engine": kw["engine"]}
+        ) | {"engine_threshold": kw["engine_threshold"]}
         if len(plan.scrambles) == 1:
             from .sampling.progressive import progressive_agg
 
             sdf, meta = plan.scrambles[0]
-            if final_only:
-                # spark engine: the one-shot partial frame may hold
-                # O(groups x blocks) rows — never driver pandas
-                return progressive_agg(
-                    sdf, meta, plan.aggs, plan.group_cols,
-                    schedule="single", transform=tf, engine="spark",
-                    engine_threshold=kw["engine_threshold"],
-                )
             return progressive_agg(
                 sdf, meta, plan.aggs, plan.group_cols, transform=tf, **ekw
             )

@@ -934,7 +934,10 @@ def approx_highcard_groupby(spark, sf_dir):
     res = approx_agg(
         sdf, meta,
         [AggSpec("sum", "l_quantity", "sum_qty"), AggSpec("count", None, "cnt")],
-        ["l_orderkey"], early_stop=False, engine="spark",
+        # early_stop=False consumes only the final estimate: one
+        # full-prefix span (one scan + one partial agg) instead of the
+        # refinement ladder — same partials, same H-T estimator
+        ["l_orderkey"], schedule="single", early_stop=False, engine="spark",
     )
     return res.estimates_sdf.select(
         "l_orderkey",

@@ -149,6 +149,7 @@ def progressive_join_agg(
     transform=None,
     engine: str = "auto",
     engine_threshold: int = 200_000,
+    schedule: str = "doubling",
 ) -> Iterator[ProgressiveResult]:
     """Yield progressively refined estimates over scramble1 ⋈ scramble2.
 
@@ -156,7 +157,13 @@ def progressive_join_agg(
     iteration doubles the covered square of the block plane and joins
     only the L-shaped increment; partials accumulate keyed by (group,
     tier1, block1, tier2) and the estimate applies the
-    coverage-product scale.
+    coverage-product scale.  ``schedule="single"`` covers the whole
+    block plane in ONE iteration (one join, one partial aggregation)
+    — the one-shot mode for callers that consume only the final
+    estimate (early_stop=False), skipping the L-shaped increment
+    ladder entirely; the estimator maths are identical because the
+    full-plane slice produces the same per-(group, tier, block)
+    partial rows the ladder accumulates.
 
     ``transform(joined_df) -> DataFrame`` runs on each joined increment
     before aggregation (broadcast-dim joins, filters, derived columns)
@@ -224,7 +231,12 @@ def progressive_join_agg(
     acc_sdf: DataFrame | None = None
     use_spark = engine == "spark"
     have_rows = False
-    for it, (lo1, hi1, lo2, hi2) in enumerate(_spans(meta1.nblocks, meta2.nblocks)):
+    spans = (
+        [(0, meta1.nblocks - 1, 0, meta2.nblocks - 1)]
+        if schedule == "single"
+        else _spans(meta1.nblocks, meta2.nblocks)
+    )
+    for it, (lo1, hi1, lo2, hi2) in enumerate(spans):
         cur_hi1, cur_hi2 = max(hi1, lo1 - 1), max(hi2, lo2 - 1)
         new_dfs = [slice_agg(*s) for s in increment_slices(lo1, hi1, lo2, hi2)]
         plane_cov = (
@@ -306,13 +318,14 @@ def approx_join_agg(
     early_stop: bool = True,
     engine: str = "auto",
     engine_threshold: int = 200_000,
+    schedule: str = "doubling",
 ) -> ProgressiveResult:
     """Run the join progression until the difference-based stop rule
     fires (or the block plane is fully covered)."""
     return fold_progressive(
         progressive_join_agg(
             scramble1, meta1, scramble2, meta2, on, aggs, group_by, transform,
-            engine=engine, engine_threshold=engine_threshold,
+            engine=engine, engine_threshold=engine_threshold, schedule=schedule,
         ),
         aggs, group_by, early_stop, value_threshold, group_threshold,
         empty_message=(
@@ -409,6 +422,7 @@ def progressive_multi_join_agg(
     transform=None,
     engine: str = "auto",
     engine_threshold: int = 200_000,
+    schedule: str = "doubling",
 ) -> Iterator[ProgressiveResult]:
     """Progressive aggregates over a CHAIN JOIN of N scrambles —
     scramble_1 ⋈ scramble_2 ⋈ ... ⋈ scramble_N, the d-dimensional
@@ -482,7 +496,15 @@ def progressive_multi_join_agg(
     nb_total = 1.0
     for m in metas:
         nb_total *= m.nblocks
-    for it, spans in enumerate(_multi_spans([m.nblocks for m in metas])):
+    all_spans = (
+        # one iteration covering the full hypercube: _slabs emits the
+        # single full-cube slab (every other slab needs an "old" prefix
+        # that does not exist) — the one-shot mode for early_stop=False
+        [[(0, m.nblocks - 1) for m in metas]]
+        if schedule == "single"
+        else _multi_spans([m.nblocks for m in metas])
+    )
+    for it, spans in enumerate(all_spans):
         cur_his = [max(hi, lo - 1) for lo, hi in spans]
         new_dfs = [slab_agg(r) for r in _slabs(spans)]
         cube_cov = 1.0
@@ -560,6 +582,7 @@ def approx_multi_join_agg(
     early_stop: bool = True,
     engine: str = "auto",
     engine_threshold: int = 200_000,
+    schedule: str = "doubling",
 ) -> ProgressiveResult:
     """Run the N-way chain-join progression with the difference-based
     early stop (or to full hypercube coverage)."""
@@ -567,6 +590,7 @@ def approx_multi_join_agg(
         progressive_multi_join_agg(
             scrambles, on, aggs, group_by, transform,
             engine=engine, engine_threshold=engine_threshold,
+            schedule=schedule,
         ),
         aggs, group_by, early_stop, value_threshold, group_threshold,
         empty_message="no block tuples produced rows — nothing to estimate",
