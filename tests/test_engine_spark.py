@@ -310,3 +310,41 @@ def test_spark_engine_no_convergence_on_empty_prefix(lineitem, spark, sf_dir):
     )
     # estimate must reflect actual (non-empty) data, scaled
     assert res.estimates["c"].iloc[0] > 0
+
+
+def test_probe_schedule_exact_and_projected_switch(lineitem):
+    """r6 one-shot optimization internals: schedule="probe" (block 0,
+    then the remainder in one span) must (a) stay exact at full
+    coverage on the driver engine for small groups, and (b) switch to
+    the Spark engine off the PROJECTED full-coverage partial size —
+    i.e. after the 1-block first span, BEFORE the second span pulls
+    the whole O(groups x blocks) frame through toPandas."""
+    sdf, meta = create_scramble(lineitem, method="uniform", nblocks=8, seed=7)
+    # (a) small groups: driver engine, exact
+    res = approx_agg(
+        sdf, meta,
+        [AggSpec("sum", "l_quantity", "s"), AggSpec("count", None, "c")],
+        ["l_returnflag"], schedule="probe", early_stop=False,
+    )
+    assert res.is_exact and res.estimates_sdf is None
+    exact = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .toPandas().set_index("l_returnflag")
+    )
+    got = res.estimates.set_index("l_returnflag")
+    for k in exact.index:
+        assert got.loc[k, "s"] == pytest.approx(exact.loc[k, "s"])
+        assert got.loc[k, "c"] == pytest.approx(exact.loc[k, "c"])
+    # (b) high cardinality + low threshold: the projection must fire on
+    # the first (1-block) span — the accumulated count alone would not
+    # cross until the second span had already been collected
+    res2 = approx_agg(
+        sdf, meta, [AggSpec("count", None, "c")], ["l_orderkey"],
+        schedule="probe", early_stop=False, engine="auto",
+        engine_threshold=2000,
+    )
+    assert res2.is_exact and res2.estimates_sdf is not None
+    assert res2.estimates_sdf.count() == (
+        lineitem.select("l_orderkey").distinct().count()
+    )

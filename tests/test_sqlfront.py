@@ -960,8 +960,9 @@ def test_sql_median_alias(ctx, lineitem):
 
 def test_nested_inner_one_shot_without_early_stop(ctx, lineitem, monkeypatch):
     # early_stop=False consumes only the inner's FINAL estimate: the
-    # nested path must run the inner as a single full-prefix span
-    # (schedule "single"), not the refinement ladder
+    # nested path must skip the doubling refinement ladder — "single"
+    # (engine pinned to spark) or "probe" (auto engine: 1-block span to
+    # arm the engine switch, then the remainder in one span)
     import verdictdb_spark.sampling.progressive as prog
 
     kinds = []
@@ -977,7 +978,7 @@ def test_nested_inner_one_shot_without_early_stop(ctx, lineitem, monkeypatch):
         " FROM lineitem GROUP BY l_orderkey) t",
         early_stop=False,
     ).toPandas()
-    assert "single" in kinds
+    assert kinds and all(k in ("single", "probe") for k in kinds), kinds
     exact = (
         lineitem.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("s"))

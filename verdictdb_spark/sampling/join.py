@@ -231,11 +231,19 @@ def progressive_join_agg(
     acc_sdf: DataFrame | None = None
     use_spark = engine == "spark"
     have_rows = False
-    spans = (
-        [(0, meta1.nblocks - 1, 0, meta2.nblocks - 1)]
-        if schedule == "single"
-        else _spans(meta1.nblocks, meta2.nblocks)
-    )
+    n1, n2 = meta1.nblocks, meta2.nblocks
+    if schedule == "single":
+        spans = [(0, n1 - 1, 0, n2 - 1)]
+    elif schedule == "probe" and (n1 > 1 or n2 > 1):
+        # (0,0) cell alone, then the rest of the plane: the 1-cell
+        # first span bounds the driver partial frame and arms the
+        # auto engine switch before the full plane is joined; the
+        # remainder decomposes into the standard two L-slices
+        spans = [(0, 0, 0, 0), (1, n1 - 1, 1, n2 - 1)]
+    elif schedule == "probe":
+        spans = [(0, n1 - 1, 0, n2 - 1)]
+    else:
+        spans = _spans(n1, n2)
     for it, (lo1, hi1, lo2, hi2) in enumerate(spans):
         cur_hi1, cur_hi2 = max(hi1, lo1 - 1), max(hi2, lo2 - 1)
         new_dfs = [slice_agg(*s) for s in increment_slices(lo1, hi1, lo2, hi2)]
@@ -250,7 +258,8 @@ def progressive_join_agg(
                     total_rows += len(pdf)
             if (
                 engine == "auto"
-                and total_rows > engine_threshold
+                # projected full-plane partial rows (see progressive_agg)
+                and total_rows / max(plane_cov, 1e-9) > engine_threshold
                 and plane_cov <= 0.5
             ):
                 # switch: re-aggregate the covered rectangle in ONE
@@ -496,14 +505,22 @@ def progressive_multi_join_agg(
     nb_total = 1.0
     for m in metas:
         nb_total *= m.nblocks
-    all_spans = (
+    if schedule == "single":
         # one iteration covering the full hypercube: _slabs emits the
         # single full-cube slab (every other slab needs an "old" prefix
         # that does not exist) — the one-shot mode for early_stop=False
-        [[(0, m.nblocks - 1) for m in metas]]
-        if schedule == "single"
-        else _multi_spans([m.nblocks for m in metas])
-    )
+        all_spans = [[(0, m.nblocks - 1) for m in metas]]
+    elif schedule == "probe" and any(m.nblocks > 1 for m in metas):
+        # origin cell alone, then the rest (disjoint slabs) — the
+        # auto-engine final-only mode, see progressive._schedule
+        all_spans = [
+            [(0, 0) for _ in metas],
+            [(1, m.nblocks - 1) for m in metas],
+        ]
+    elif schedule == "probe":
+        all_spans = [[(0, m.nblocks - 1) for m in metas]]
+    else:
+        all_spans = _multi_spans([m.nblocks for m in metas])
     for it, spans in enumerate(all_spans):
         cur_his = [max(hi, lo - 1) for lo, hi in spans]
         new_dfs = [slab_agg(r) for r in _slabs(spans)]
@@ -519,7 +536,8 @@ def progressive_multi_join_agg(
                     total_rows += len(pdf)
             if (
                 engine == "auto"
-                and total_rows > engine_threshold
+                # projected full-cube partial rows (see progressive_agg)
+                and total_rows / max(cube_cov, 1e-9) > engine_threshold
                 and cube_cov <= 0.5
             ):
                 # switch: one pruned re-aggregation of the covered

@@ -163,6 +163,16 @@ def _schedule(nblocks: int, kind: str) -> list[tuple[int, int]]:
         # scan, one partial aggregation, one estimate, zero
         # intermediate materializations
         return [(0, nblocks - 1)]
+    if kind == "probe":
+        # two spans: block 0 alone, then everything else.  The final-
+        # only mode for the AUTO engine — the 1-block first span bounds
+        # the driver partial frame at O(groups x tiers) rows and arms
+        # the engine-threshold switch BEFORE the full prefix is pulled,
+        # while the remainder still scans in one job (vs the doubling
+        # ladder's log2(nblocks) jobs)
+        if nblocks <= 1:
+            return [(0, 0)]
+        return [(0, 0), (1, nblocks - 1)]
     spans, lo, step = [], 0, 1
     while lo < nblocks:
         hi = min(lo + step - 1, nblocks - 1)
@@ -627,7 +637,17 @@ def progressive_agg(
             if len(pdf):
                 acc.append(pdf)
                 total_rows += len(pdf)
-            if engine == "auto" and total_rows > engine_threshold:
+            # PROJECTED full-coverage partial rows (rows scale ~linearly
+            # with covered blocks until groups saturate): switching on
+            # the projection instead of the accumulated count means a
+            # high-cardinality query crosses after its FIRST small span
+            # — before a later span pulls the whole O(groups x blocks)
+            # frame through toPandas (the probe schedule's second span
+            # is everything, so a react-after-collect rule would defeat
+            # the bound the 1-block first span exists to provide)
+            cov_now = meta.coverage(hi, 0)
+            projected = total_rows / max(cov_now, 1e-9)
+            if engine == "auto" and projected > engine_threshold:
                 # switch to the Spark engine.  Early crossing (<= half
                 # coverage): RE-AGGREGATE the covered prefix in one
                 # partition-pruned Spark job — cheap, and sidesteps the
