@@ -178,6 +178,19 @@ def minhash_signatures(
     return sh.mapInPandas(build_sigs, out_schema)
 
 
+def _materialized(df: DataFrame) -> bool:
+    """True when the frame is already a materialized RDD scan (e.g. a
+    prior ``localCheckpoint`` — callers that pass a shared signature
+    fixture should not pay a second copy of it)."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:
+        return False
+
+
 def _bucket_pairs(
     keyed: DataFrame,
     bucket_cols: list[str],
@@ -227,14 +240,32 @@ def _bucket_pairs(
                 RuntimeWarning,
             )
     tagged = keyed.join(stats, bucket_cols)
-    small = tagged.where(F.col("_bn") <= hot_bucket_cap).select("_id", *bucket_cols)
-    a, b = small.alias("a"), small.alias("b")
-    cond = F.col("a._id") < F.col("b._id")
-    for c in bucket_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    pairs_small = a.join(b, cond).select(
-        F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+    # small buckets: collect the member ids per bucket (bounded by
+    # hot_bucket_cap, so the array fits comfortably) and expand the
+    # i<j pairs with JVM array expressions — ONE aggregation keyed the
+    # same way as the tagged join (exchange reuse) instead of the
+    # previous bucket self-join, which shuffled + sorted the banded
+    # rows a second time.  Hot buckets never reach collect_list: the
+    # streaming count/min stats above are the only aggregates they see.
+    ids = F.array_sort(F.collect_list("_id"))
+    lists = (
+        tagged.where(F.col("_bn") <= hot_bucket_cap)
+        .groupBy(*bucket_cols)
+        .agg(ids.alias("_ids"))
     )
+    pairs_small = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_ids",
+                    lambda x, i: F.transform(
+                        F.slice("_ids", i + F.lit(2), F.size("_ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
     pairs_hot = (
         tagged.where((F.col("_bn") > hot_bucket_cap) & (F.col("_id") != F.col("_rep")))
         .select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
@@ -267,7 +298,8 @@ def lsh_candidate_pairs(
         num_hashes = len(sig_df.select("sig").first()["sig"])
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sig_df = sig_df.localCheckpoint()  # reused three times below
+    if not _materialized(sig_df):
+        sig_df = sig_df.localCheckpoint()  # reused three times below
     # slim banding rows: the self-join and the pair-dedup shuffle carry
     # only (id, band, hash) — the 1KB signature arrays would otherwise
     # be replicated x bands through the shuffle
@@ -534,10 +566,12 @@ def connected_components(
         .localCheckpoint()  # the upstream DAG (MinHash/LSH) must not re-run per round
     )
     all_vertices = (
+        # lazy on purpose: read once by the final join, and it derives
+        # from the checkpointed edge set — an eager checkpoint here
+        # would only add a job
         e.select(F.col("s").alias("vertex"))
         .unionAll(e.select(F.col("d").alias("vertex")))
         .distinct()
-        .localCheckpoint()
     )
     prev_sig = None
     done = False
