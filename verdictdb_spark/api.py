@@ -1169,6 +1169,10 @@ class VerdictContext:
                 entry.artifact_path
             )
             assigned.unpersist()
+            # a cached load_scramble handle would not see the new files
+            from .sampling.scramble import invalidate_scramble_cache
+
+            invalidate_scramble_cache(entry.artifact_path)
             return spark.createDataFrame(
                 [(name, n)], schema="scramble string, appended_rows long"
             )
@@ -1198,8 +1202,11 @@ class VerdictContext:
         re-created."""
         import shutil
 
+        from .sampling.scramble import invalidate_scramble_cache
+
         self.metastore.drop(entry.artifact_path)
         shutil.rmtree(entry.artifact_path, ignore_errors=True)
+        invalidate_scramble_cache(entry.artifact_path)
 
     def _build_and_register(
         self,

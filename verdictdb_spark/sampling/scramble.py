@@ -429,9 +429,36 @@ def write_scramble(df: DataFrame, meta: ScrambleMeta, path: str) -> None:
     ).parquet(path)
     with open(os.path.join(path, "_verdictdb_meta.json"), "w") as f:
         f.write(meta.to_json())
+    invalidate_scramble_cache(path)
+
+
+# (applicationId, abspath) -> (DataFrame, meta).  A loaded scramble is a
+# METADATA handle (parquet file index + schema + sidecar json), not data
+# — but building it costs a driver-side directory listing and footer
+# read per call, which every front-door query pays once or twice.  The
+# cache is per Spark application; writers below invalidate explicitly
+# (a cached DataFrame's file index would not see appended files).
+_LOAD_CACHE: dict = {}
+
+
+def invalidate_scramble_cache(path: str | None = None) -> None:
+    """Drop cached load_scramble handles (all, or one artifact path) —
+    called by every code path that mutates a scramble directory."""
+    if path is None:
+        _LOAD_CACHE.clear()
+        return
+    ap = os.path.abspath(path)
+    for k in [k for k in _LOAD_CACHE if k[1] == ap]:
+        del _LOAD_CACHE[k]
 
 
 def load_scramble(spark: SparkSession, path: str) -> tuple[DataFrame, ScrambleMeta]:
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
     with open(os.path.join(path, "_verdictdb_meta.json")) as f:
         meta = ScrambleMeta.from_json(f.read())
-    return spark.read.parquet(path), meta
+    out = (spark.read.parquet(path), meta)
+    _LOAD_CACHE[key] = out
+    return out
