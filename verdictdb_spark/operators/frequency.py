@@ -115,6 +115,125 @@ def _candidates(df: DataFrame, col: str, group_by: Sequence[str], per_part: int)
     return prepared.mapInPandas(local_mg, T.StructType(out_fields))
 
 
+def _fused_partials(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str],
+    sk: CmsSketch,
+    per_part: int,
+) -> DataFrame:
+    """ONE pass over the input producing BOTH the per-(partition x
+    group) CMS partial states and the Misra-Gries candidate summaries
+    (the previous implementation ran ``cms_sketch_table`` and
+    ``_candidates`` as two separate scans of the source — at 100 TB
+    that is the whole input read twice for one query).  Output rows
+    are tagged by kind: state rows carry (group cols, state, part_id);
+    candidate rows carry (group cols, _value, _vh, _lcount); the other
+    columns are NULL.  Per-partition memory stays O(groups x CMS size
+    + groups x C counters) exactly as before."""
+    import pandas as pd  # noqa: F811 (local alias for closure pickling)
+
+    gcols = list(group_by)
+    cap = per_part * 4
+    sel = gcols + [
+        F.col(col).cast("string").alias("_value"),
+        F.xxhash64(F.col(col)).alias("_vh"),
+    ]
+    prepared = df.where(F.col(col).isNotNull()).select(*sel)
+    gnames = gcols if gcols else [GROUP_ALL]
+    gfields = (
+        [prepared.schema[g] for g in gcols]
+        if gcols
+        else [T.StructField(GROUP_ALL, T.IntegerType())]
+    )
+    out_schema = T.StructType(
+        gfields
+        + [
+            T.StructField("state", T.BinaryType()),
+            T.StructField("part_id", T.IntegerType()),
+            T.StructField("_value", T.StringType()),
+            T.StructField("_vh", T.LongType()),
+            T.StructField("_lcount", T.LongType()),
+        ]
+    )
+    keycols = gcols + ["_value"]
+
+    def _mg_trim(acc: pd.DataFrame) -> pd.DataFrame:
+        if gcols:
+            def trim(g: pd.DataFrame) -> pd.DataFrame:
+                if len(g) <= cap:
+                    return g
+                thr = g["_lcount"].nlargest(cap + 1).iloc[-1]
+                g = g.assign(_lcount=g["_lcount"] - thr)
+                return g[g["_lcount"] > 0]
+
+            return acc.groupby(
+                gcols, sort=False, dropna=False, group_keys=False
+            ).apply(trim)
+        if len(acc) <= cap:
+            return acc
+        thr = acc["_lcount"].nlargest(cap + 1).iloc[-1]
+        acc = acc.assign(_lcount=acc["_lcount"] - thr)
+        return acc[acc["_lcount"] > 0]
+
+    def fused(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        states: dict[tuple, "np.ndarray"] = {}
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vh = pdf["_vh"].to_numpy()
+            if gcols:
+                grouped = pdf.groupby(gcols, sort=False, dropna=False).indices
+            else:
+                grouped = {(0,): np.arange(len(pdf))}
+            for key, idx in grouped.items():
+                kk = key if isinstance(key, tuple) else (key,)
+                st = states.get(kk)
+                if st is None:
+                    st = states[kk] = sk.empty()
+                sk.update(st, vh[idx])
+            g = (
+                pdf.groupby(keycols if gcols else ["_value"], sort=False, dropna=False)
+                .agg(_vh=("_vh", "first"), _lcount=("_vh", "size"))
+                .reset_index()
+            )
+            if acc is None:
+                acc = g
+            else:
+                acc = (
+                    pd.concat([acc, g])
+                    .groupby(keycols if gcols else ["_value"], sort=False, dropna=False)
+                    .agg(_vh=("_vh", "first"), _lcount=("_lcount", "sum"))
+                    .reset_index()
+                )
+            acc = _mg_trim(acc)
+        cols = [f.name for f in out_schema.fields]
+        rows = [
+            list(kk) + [sk.to_bytes(st), pid, None, None, None]
+            for kk, st in states.items()
+        ]
+        out = pd.DataFrame(rows, columns=cols)
+        if acc is not None and len(acc):
+            cand = pd.DataFrame(
+                {
+                    **({g: acc[g] for g in gcols} if gcols else {GROUP_ALL: 0}),
+                    "state": None,
+                    "part_id": pid,
+                    "_value": acc["_value"],
+                    "_vh": acc["_vh"],
+                    "_lcount": acc["_lcount"],
+                }
+            )
+            out = pd.concat([out, cand], ignore_index=True)
+        yield out
+
+    return prepared.mapInPandas(fused, out_schema)
+
+
 def approx_top_k(
     df: DataFrame,
     col: str,
@@ -125,21 +244,33 @@ def approx_top_k(
     out_value: str = "value",
     out_count: str = "est_count",
 ) -> DataFrame:
-    """Heavy hitters with CMS-estimated counts (overestimate <= eps*N w.p. 1-delta)."""
+    """Heavy hitters with CMS-estimated counts (overestimate <= eps*N w.p. 1-delta).
+
+    One fused pass builds the CMS partials and the Misra-Gries
+    candidates together (``_fused_partials``); the combined partial
+    frame — KBs per (partition x group) — is localCheckpointed so the
+    state and candidate branches read it without re-scanning the
+    source."""
     sk = CmsSketch(eps=eps, delta=delta)
     gcols = list(group_by)
-    merged = cms_sketch_table(df, col, group_by, eps, delta)
+    gnames = gcols if gcols else [GROUP_ALL]
+    partials = _fused_partials(df, col, gcols, sk, per_part=k).localCheckpoint()
+    merged = tree_merge(
+        partials.where(F.col("state").isNotNull()).select(
+            *gnames, "state", "part_id"
+        ),
+        sk,
+        group_by,
+    )
     cand = (
-        _candidates(df, col, group_by, per_part=k)
-        .groupBy(*gcols, "_value", "_vh")
+        partials.where(F.col("_value").isNotNull())
+        .groupBy(*gnames, "_value", "_vh")
         .agg(F.sum("_lcount").alias("_lb"))
     )
-    gnames = gcols if gcols else [GROUP_ALL]
     # ONE row per group on each side of the join: candidates fold into
     # an array first, so the ~MB CMS state is never replicated onto (and
     # shuffled with) every candidate row
-    cand_g = cand.withColumn(GROUP_ALL, F.lit(0)) if not gcols else cand
-    cand_agg = cand_g.groupBy(*gnames).agg(
+    cand_agg = cand.groupBy(*gnames).agg(
         F.collect_list(F.struct("_value", "_vh")).alias("_cands")
     )
     joined = merged.join(cand_agg, on=gnames, how="inner")
