@@ -1214,3 +1214,18 @@ def test_sql_percentile_early_stops_on_uniform_scramble(
     )
     m = out.merge(exact, on="l_returnflag")
     assert (abs(m["med"] - m["x"]) <= 1).all()
+
+
+def test_parse_duplicate_composite_names_fall_back():
+    # ADVICE r5: auto-generated composite names (stats expansion,
+    # 48-char truncation) could collide — any duplicate select_order
+    # entry must raise Unsupported (exact fallback), never silently
+    # collapse two output columns onto one name
+    from verdictdb_spark.sqlparse import Unsupported, parse_select
+
+    with pytest.raises(Unsupported, match="duplicate"):
+        parse_select("SELECT var_pop(x), var_pop(x) FROM t GROUP BY g")
+    long_a = "sum(" + "a" * 60 + ") / sum(b)"
+    long_b = "sum(" + "a" * 60 + ") / sum(c)"
+    with pytest.raises(Unsupported, match="duplicate"):
+        parse_select(f"SELECT {long_a}, {long_b} FROM t")
