@@ -225,8 +225,10 @@ def _bucket_pairs(
         # materialize the (small) bucket-stats frame once: the warning
         # count and the tagging join below both read the checkpoint, so
         # the upstream signature/banding pipeline is not re-evaluated
-        # for the warning probe
-        stats = stats.localCheckpoint(eager=True)
+        # for the warning probe.  Lazy: the count() right below is the
+        # materializing action — an eager checkpoint would run a
+        # separate job first
+        stats = stats.localCheckpoint(eager=False)
         n_hot = stats.where(F.col("_bn") > hot_bucket_cap).count()
         if n_hot:
             import warnings
@@ -563,7 +565,9 @@ def connected_components(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col(src) != F.col(dst))
         .distinct()
-        .localCheckpoint()  # the upstream DAG (MinHash/LSH) must not re-run per round
+        # the upstream DAG (MinHash/LSH) must not re-run per round;
+        # lazy — round 1's signature agg is the materializing action
+        .localCheckpoint(eager=False)
     )
     all_vertices = (
         # lazy on purpose: read once by the final join, and it derives
@@ -576,7 +580,9 @@ def connected_components(
     prev_sig = None
     done = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the signature agg below materializes it —
+        # one action per round instead of checkpoint-job + agg-job
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # fixed point iff the edge multiset is unchanged: compare
         # (count, order-invariant hash-sum) — one tiny agg action/round
         row = e.agg(
