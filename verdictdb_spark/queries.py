@@ -45,8 +45,22 @@ def _prep(spark: SparkSession) -> None:
         _SHIPPED.add(key)
 
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Base-table handle, cached per (application, path): a DataFrame
+    is plan metadata (file index + schema), but building one costs a
+    driver-side listing + parquet footer read — and every registry
+    entry reads its base tables once or twice per call.  Keyed by
+    applicationId so a new session (or regenerated testdata in a new
+    driver run) never sees a stale handle."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_CACHE[key] = df
+    return df
 
 
 
