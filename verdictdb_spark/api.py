@@ -1250,6 +1250,14 @@ class VerdictContext:
         scramble_at: dict[int, tuple[DataFrame, ScrambleMeta]] = {}
         dim_at: dict[int, DataFrame] = {}
         subq_at: dict[int, tuple] = {}
+        # pass 1: CLASSIFY tables without executing anything — an
+        # opaque derived table's plan-time execution is only worth
+        # paying when it will serve as a dimension beside a scramble.
+        # Before this split, a statement whose ONLY table was a
+        # rewritable derived table (the nested/CTE shape) executed its
+        # inner here, hit the no-scramble bail-out below, and then
+        # _try_nested executed the same inner a SECOND time.
+        pending_opaque: list[int] = []
         for i, t in enumerate(p.tables):
             if t.subquery is not None:
                 if t.name and self.metastore.lookup(t.name, kind="scramble") is not None:
@@ -1263,47 +1271,7 @@ class VerdictContext:
                     _, items, inner_where = t.inner
                     subq_at[i] = (items, inner_where)
                 else:
-                    # opaque derived table: if its body is itself a
-                    # rewritable aggregate over a registered scramble,
-                    # substitute its progressive ESTIMATE frame as the
-                    # dimension (the reference's dependent nodes
-                    # approximate both sides,
-                    # QueryExecutionPlanFactory.java:242-345; estimates
-                    # from independent scrambles stay unbiased under
-                    # the join product).  The run happens at plan time
-                    # — a later Unsupported in this method wastes it
-                    # (correctly: exact fallback), same hazard as the
-                    # reference's sequential dependent execution.
-                    # Otherwise execute the inner text exactly —
-                    # plain dimensions are exact by definition.
-                    sub_df = None
-                    try:
-                        sub_plan = self._plan(t.subquery, early_stop=early_stop)
-                    except (Unsupported, AnalysisException):
-                        sub_plan = None
-                    if sub_plan is not None and not sub_plan.const_false:
-                        try:
-                            sub_df = self._execute(
-                                sub_plan, early_stop=early_stop,
-                                with_errors=False,
-                                final_only=not early_stop,
-                            )
-                        except (ValueError, AnalysisException):
-                            sub_df = None
-                    if sub_df is not None:
-                        # the estimate frame becomes a broadcast dim in
-                        # the per-block transform: EVERY outer
-                        # refinement step (and the _err pass) would
-                        # otherwise recompute the whole inner —
-                        # materialize once, O(inner groups) rows
-                        dim_at[i] = sub_df.localCheckpoint(eager=True)
-                    else:
-                        try:
-                            dim_at[i] = self.spark.sql(t.subquery)
-                        except AnalysisException:
-                            raise Unsupported(
-                                f"unresolvable derived table {t.alias!r}"
-                            )
+                    pending_opaque.append(i)
             elif self.metastore.lookup(t.name, kind="scramble") is not None:
                 scramble_at[i] = self.load_scramble_for(t.name)
             else:
@@ -1313,6 +1281,46 @@ class VerdictContext:
                     raise Unsupported(f"unresolvable table {t.name!r}")
         if not scramble_at:
             return None  # nothing to substitute — plain exact SQL
+        # pass 2: resolve the opaque derived tables.  If a body is
+        # itself a rewritable aggregate over a registered scramble,
+        # substitute its progressive ESTIMATE frame as the dimension
+        # (the reference's dependent nodes approximate both sides,
+        # QueryExecutionPlanFactory.java:242-345; estimates from
+        # independent scrambles stay unbiased under the join product).
+        # The run happens at plan time — a later Unsupported in this
+        # method wastes it (correctly: exact fallback), same hazard as
+        # the reference's sequential dependent execution.  Otherwise
+        # execute the inner text exactly — plain dimensions are exact
+        # by definition.
+        for i in pending_opaque:
+            t = p.tables[i]
+            sub_df = None
+            try:
+                sub_plan = self._plan(t.subquery, early_stop=early_stop)
+            except (Unsupported, AnalysisException):
+                sub_plan = None
+            if sub_plan is not None and not sub_plan.const_false:
+                try:
+                    sub_df = self._execute(
+                        sub_plan, early_stop=early_stop,
+                        with_errors=False,
+                        final_only=not early_stop,
+                    )
+                except (ValueError, AnalysisException):
+                    sub_df = None
+            if sub_df is not None:
+                # the estimate frame becomes a broadcast dim in the
+                # per-block transform: EVERY outer refinement step
+                # (and the _err pass) would otherwise recompute the
+                # whole inner — materialize once, O(inner groups) rows
+                dim_at[i] = sub_df.localCheckpoint(eager=True)
+            else:
+                try:
+                    dim_at[i] = self.spark.sql(t.subquery)
+                except AnalysisException:
+                    raise Unsupported(
+                        f"unresolvable derived table {t.alias!r}"
+                    )
         if subq_at and (len(scramble_at) > 1 or len(subq_at) > 1):
             raise Unsupported("derived table over a scramble in a scramble join")
         for name, expr in p.composites:
